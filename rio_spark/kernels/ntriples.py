@@ -1,0 +1,192 @@
+"""N-Triples / N-Quads (-star) parsers — line-oriented, per-line recovery.
+
+Behavioral reference: /root/reference/turtle/src/ntriples.rs:44-176 (S1/S2 in
+SURVEY.md §2.1) — errors skip to end-of-line and parsing continues
+(ntriples.rs:79-83, :165-169; turtle/tests/recovery.rs). Written from the
+public W3C N-Triples/N-Quads grammars, not translated.
+
+Each document parse returns ``(triples, errors)`` where triples are kernel-term
+tuples (see rio_spark.model) and errors are positioned dicts — rows, never
+exceptions (SURVEY.md §2.5 F2).
+"""
+
+from __future__ import annotations
+
+import re
+
+from rio_spark.kernels.errors import ParseError
+from rio_spark.kernels.shared import (
+    normalize_langtag,
+    scan_blank_node_label,
+    scan_iriref,
+    scan_string,
+    validate_absolute_iri,
+)
+from rio_spark.model import BNode, QTriple, Term, encode_literal
+
+_WS = " \t"
+
+# fast path: plain-ASCII triple of IRIs / simple literal with no escapes —
+# the overwhelming majority of real N-Triples lines. One compiled regex
+# replaces the cursor walk (the reference's analogous trick is its ASCII
+# fast path, shared.rs:69-73).
+_FAST_LINE = re.compile(
+    r"^[ \t]*<([^<>\"{}|^`\\\x00-\x20]*)>"
+    r"[ \t]+<([^<>\"{}|^`\\\x00-\x20]*)>"
+    r"[ \t]+(?:"
+    r"<([^<>\"{}|^`\\\x00-\x20]*)>"
+    r'|"([^"\\\n\r]*)"(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^<([^<>"{}|^`\\\x00-\x20]*)>)?'
+    r")[ \t]*\.[ \t]*(?:#.*)?$"
+)
+_SCHEME_PROBE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _skip_ws(s: str, i: int) -> int:
+    n = len(s)
+    while i < n and s[i] in _WS:
+        i += 1
+    return i
+
+
+def _parse_subject(s: str, i: int, line: int, star: bool) -> tuple[Term, int]:
+    c = s[i]
+    if c == "<":
+        if star and s.startswith("<<", i):
+            return _parse_quoted_triple(s, i, line)
+        iri, i = scan_iriref(s, i, line)
+        return "<" + validate_absolute_iri(iri, line, i) + ">", i
+    if c == "_":
+        label, i = scan_blank_node_label(s, i, line)
+        return BNode("u", label), i
+    raise ParseError("UnexpectedChar", f"expected subject, got {c!r}", line, i)
+
+
+def _parse_predicate(s: str, i: int, line: int) -> tuple[str, int]:
+    if i >= len(s) or s[i] != "<":
+        raise ParseError("UnexpectedChar", "expected predicate IRI", line, i)
+    iri, i = scan_iriref(s, i, line)
+    return "<" + validate_absolute_iri(iri, line, i) + ">", i
+
+
+def _parse_object(s: str, i: int, line: int, star: bool) -> tuple[Term, int]:
+    if i >= len(s):
+        raise ParseError("UnexpectedEof", "expected object", line, i)
+    c = s[i]
+    if c == "<":
+        if star and s.startswith("<<", i):
+            return _parse_quoted_triple(s, i, line)
+        iri, i = scan_iriref(s, i, line)
+        return "<" + validate_absolute_iri(iri, line, i) + ">", i
+    if c == "_":
+        label, i = scan_blank_node_label(s, i, line)
+        return BNode("u", label), i
+    if c == '"':
+        value, i = scan_string(s, i, '"', line)
+        lang = dt = None
+        if i < len(s) and s[i] == "@":
+            j = i + 1
+            n = len(s)
+            start = j
+            while j < n and (s[j].isalnum() and s[j].isascii() or s[j] == "-"):
+                j += 1
+            lang = normalize_langtag(s[start:j], line, start)
+            i = j
+        elif s.startswith("^^", i):
+            i += 2
+            if i >= len(s) or s[i] != "<":
+                raise ParseError("UnexpectedChar", "expected datatype IRI", line, i)
+            dt, i = scan_iriref(s, i, line)
+            validate_absolute_iri(dt, line, i)
+        return encode_literal(value, lang, dt), i
+    raise ParseError("UnexpectedChar", f"expected object, got {c!r}", line, i)
+
+
+def _parse_quoted_triple(s: str, i: int, line: int) -> tuple[QTriple, int]:
+    """RDF-star ``<< s p o >>`` (N-Triples-star, ntriples.rs:302-321)."""
+    i += 2  # consume <<
+    i = _skip_ws(s, i)
+    subj, i = _parse_subject(s, i, line, star=True)
+    i = _skip_ws(s, i)
+    pred, i = _parse_predicate(s, i, line)
+    i = _skip_ws(s, i)
+    obj, i = _parse_object(s, i, line, star=True)
+    i = _skip_ws(s, i)
+    if not s.startswith(">>", i):
+        raise ParseError("UnexpectedChar", "expected '>>'", line, i)
+    return QTriple(subj, pred, obj), i + 2
+
+
+def _parse_line(s: str, line: int, quads: bool, star: bool):
+    i = _skip_ws(s, 0)
+    if i >= len(s) or s[i] == "#":
+        return None
+    subj, i = _parse_subject(s, i, line, star)
+    i = _skip_ws(s, i)
+    pred, i = _parse_predicate(s, i, line)
+    i = _skip_ws(s, i)
+    obj, i = _parse_object(s, i, line, star)
+    i = _skip_ws(s, i)
+    graph = None
+    if quads and i < len(s) and s[i] in "<_":
+        # graph label: IRI or bnode only (no literals, no quoted triples —
+        # GraphName per model.rs:287-290)
+        c = s[i]
+        if c == "<":
+            if s.startswith("<<", i):
+                raise ParseError("UnexpectedChar", "quoted triple cannot be a graph name", line, i)
+            iri, i = scan_iriref(s, i, line)
+            graph = "<" + validate_absolute_iri(iri, line, i) + ">"
+        else:
+            label, i = scan_blank_node_label(s, i, line)
+            graph = BNode("u", label)
+        i = _skip_ws(s, i)
+    if i >= len(s) or s[i] != ".":
+        raise ParseError("UnexpectedChar", "expected '.' at end of statement", line, i)
+    i = _skip_ws(s, i + 1)
+    if i < len(s) and s[i] != "#":
+        raise ParseError("UnexpectedChar", "trailing content after '.'", line, i)
+    if quads:
+        return (subj, pred, obj, graph)
+    return (subj, pred, obj)
+
+
+def _parse_doc(text: str, quads: bool, star: bool):
+    triples: list[tuple] = []
+    errors: list[dict] = []
+    for lineno, raw in enumerate(text.split("\n"), start=1):
+        s = raw[:-1] if raw.endswith("\r") else raw
+        if not s or s.lstrip(_WS)[:1] in ("", "#"):
+            continue
+        m = None if (quads or "\\" in s) else _FAST_LINE.match(s)
+        if m is not None:
+            sub, pred, obj_iri, lit, lang, dt = m.groups()
+            if (
+                _SCHEME_PROBE.match(sub)
+                and _SCHEME_PROBE.match(pred)
+                and (obj_iri is None or _SCHEME_PROBE.match(obj_iri))
+                and (dt is None or _SCHEME_PROBE.match(dt))
+            ):
+                if obj_iri is not None:
+                    o: Term = "<" + obj_iri + ">"
+                else:
+                    o = encode_literal(lit, lang.lower() if lang else None, dt)
+                triples.append(("<" + sub + ">", "<" + pred + ">", o))
+                continue
+        try:
+            t = _parse_line(s, lineno, quads, star)
+            if t is not None:
+                triples.append(t)
+        except ParseError as e:
+            e.line = lineno
+            errors.append(e.as_row())  # skip to next line (per-line recovery)
+    return triples, errors
+
+
+def parse_ntriples(text: str, star: bool = True) -> tuple[list[tuple], list[dict]]:
+    """S1: N-Triples(-star) document -> ([(s, p, o)], [error rows])."""
+    return _parse_doc(text, quads=False, star=star)
+
+
+def parse_nquads(text: str, star: bool = True) -> tuple[list[tuple], list[dict]]:
+    """S2: N-Quads(-star) document -> ([(s, p, o, g)], [error rows])."""
+    return _parse_doc(text, quads=True, star=star)

@@ -1,0 +1,675 @@
+"""Turtle / TriG (-star) parser — stateful ``@prefix``/``@base`` environment,
+syntax-sugar expansions, RDF-star quoted triples and annotations.
+
+Behavioral reference: /root/reference/turtle/src/turtle.rs (S3/S4, G11-G21,
+X1-X6 in SURVEY.md §2) — same observable semantics: later directives shadow
+earlier ones (turtle.rs:79-113), language tags lowercased, ``a`` expands to
+rdf:type, collections to rdf:first/rest/nil chains, nesting bounded by
+MAX_STACK_SIZE=128 (lib.rs:74-78), keyword-vs-prefix lookahead
+(turtle.rs:278-301). Implementation written from the public W3C Turtle 1.1 /
+TriG grammars (https://www.w3.org/TR/turtle/ §6.5), not translated.
+
+Parsing a document is an order-dependent left fold (SURVEY.md §1.4): the
+document is the unit of parallelism; this function runs per document inside
+``mapInPandas`` Arrow batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+from rio_spark.kernels.errors import MAX_STACK_SIZE, ParseError
+from rio_spark.kernels.shared import (
+    is_pn_chars,
+    is_pn_chars_base,
+    is_pn_chars_u,
+    decode_uchar,
+    normalize_langtag,
+    resolve_or_validate,
+    scan_blank_node_label,
+    scan_iriref,
+    scan_string,
+)
+from rio_spark.model import (
+    BNode,
+    QTriple,
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    Term,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    encode_literal,
+)
+
+_DOUBLE_RE = re.compile(r"[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+)")
+_DECIMAL_RE = re.compile(r"[+-]?\d*\.\d+")
+_INTEGER_RE = re.compile(r"[+-]?\d+")
+_PN_LOCAL_ESC = set("_~.-!$&'()*+,;=/?#@%")
+
+
+class _Parser:
+    __slots__ = ("s", "i", "n", "prefixes", "base", "bnode_counter", "out",
+                 "graph", "quads", "star", "depth")
+
+    def __init__(self, text: str, base_iri: str | None, quads: bool, star: bool):
+        if text.startswith("\ufeff"):
+            text = text[1:]
+        self.s = text
+        self.i = 0
+        self.n = len(text)
+        self.prefixes: dict[str, str] = {}
+        self.base = base_iri
+        self.bnode_counter = 0
+        self.out: list[tuple] = []
+        self.graph: Term | None = None
+        self.quads = quads
+        self.star = star
+        self.depth = 0
+
+    # -- plumbing ------------------------------------------------------------
+
+    def err(self, kind: str, msg: str) -> ParseError:
+        line = self.s.count("\n", 0, self.i) + 1
+        byte = self.i - self.s.rfind("\n", 0, self.i)
+        return ParseError(kind, msg, line, byte)
+
+    def fresh_bnode(self) -> BNode:
+        self.bnode_counter += 1
+        return BNode("g", str(self.bnode_counter))
+
+    def emit(self, s: Term, p: Term, o: Term) -> None:
+        if self.quads:
+            self.out.append((s, p, o, self.graph))
+        else:
+            self.out.append((s, p, o))
+
+    def enter(self) -> None:
+        self.depth += 1
+        if self.depth > MAX_STACK_SIZE:
+            raise self.err("StackOverflow", f"nesting deeper than {MAX_STACK_SIZE}")
+
+    def leave(self) -> None:
+        self.depth -= 1
+
+    def skip_ws(self) -> None:
+        s, n = self.s, self.n
+        i = self.i
+        while i < n:
+            c = s[i]
+            if c in " \t\r\n":
+                i += 1
+            elif c == "#":
+                j = s.find("\n", i)
+                i = n if j < 0 else j + 1
+            else:
+                break
+        self.i = i
+
+    def at_end(self) -> bool:
+        return self.i >= self.n
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < self.n else ""
+
+    def expect(self, ch: str) -> None:
+        if self.peek() != ch:
+            raise self.err("UnexpectedChar", f"expected {ch!r}, got {self.peek()!r}")
+        self.i += 1
+
+    def _keyword_ahead(self, kw: str) -> bool:
+        """Case-insensitive keyword probe that must NOT be a prefixed name:
+        the char after the keyword may not continue a PNAME (keyword-vs-prefix
+        disambiguation, cf. turtle.rs:278-301 / rio-tests keyword_vs_prefix)."""
+        j = self.i + len(kw)
+        if self.s[self.i : j].lower() != kw:
+            return False
+        if j < self.n:
+            c = self.s[j]
+            if c == ":" or is_pn_chars(c) or c == ".":
+                return False
+        return True
+
+    # -- directives (G11, G12) -------------------------------------------------
+
+    def parse_prefix_directive(self, sparql_style: bool) -> None:
+        self.skip_ws()
+        name = self.parse_pname_ns()
+        self.skip_ws()
+        if self.peek() != "<":
+            raise self.err("UnexpectedChar", "expected IRI in prefix directive")
+        iri, self.i = scan_iriref(self.s, self.i, 0)
+        self.prefixes[name] = resolve_or_validate(iri, self.base)
+        if not sparql_style:
+            self.skip_ws()
+            self.expect(".")
+
+    def parse_base_directive(self, sparql_style: bool) -> None:
+        self.skip_ws()
+        if self.peek() != "<":
+            raise self.err("UnexpectedChar", "expected IRI in base directive")
+        iri, self.i = scan_iriref(self.s, self.i, 0)
+        self.base = resolve_or_validate(iri, self.base)
+        if not sparql_style:
+            self.skip_ws()
+            self.expect(".")
+
+    # -- names (G13, G21) ------------------------------------------------------
+
+    def parse_pname_ns(self) -> str:
+        """PNAME_NS := PN_PREFIX? ':' — returns prefix name without colon."""
+        s, n = self.s, self.n
+        i = self.i
+        start = i
+        if i < n and is_pn_chars_base(s[i]):
+            i += 1
+            while i < n and (is_pn_chars(s[i]) or s[i] == "."):
+                i += 1
+            while s[i - 1] == ".":
+                i -= 1
+        name = s[start:i]
+        self.i = i
+        self.expect(":")
+        return name
+
+    def parse_prefixed_name(self) -> str:
+        name = self.parse_pname_ns()
+        ns = self.prefixes.get(name)
+        if ns is None:
+            raise self.err("UnknownPrefix", f"undeclared prefix {name!r}:")
+        # PN_LOCAL := (PN_CHARS_U | ':' | [0-9] | PLX)
+        #             ((PN_CHARS | '.' | ':' | PLX)* (PN_CHARS | ':' | PLX))?
+        s, n = self.s, self.n
+        i = self.i
+        local: list[str] = []
+        pending_dots = 0
+
+        def take_plx() -> bool:
+            nonlocal i
+            c = s[i]
+            if c == "%":
+                h = s[i + 1 : i + 3]
+                if len(h) == 2 and all(x in "0123456789abcdefABCDEF" for x in h):
+                    local.append(s[i : i + 3])
+                    i += 3
+                    return True
+                raise self.err("InvalidEscape", "bad %XX in local name")
+            if c == "\\":
+                if i + 1 < n and s[i + 1] in _PN_LOCAL_ESC:
+                    local.append(s[i + 1])
+                    i += 2
+                    return True
+                raise self.err("InvalidEscape", "bad \\ escape in local name")
+            return False
+
+        first = True
+        while i < n:
+            c = s[i]
+            if c in "%\\":
+                local.extend("." * pending_dots)
+                pending_dots = 0
+                self.i = i
+                take_plx()
+                first = False
+                continue
+            if c == "." and not first:
+                pending_dots += 1  # only valid if more name follows (dot backoff)
+                i += 1
+                continue
+            ok = (is_pn_chars_u(c) or c == ":" or (c.isdigit() and c.isascii())) if first \
+                else (is_pn_chars(c) or c == ":")
+            if not ok:
+                break
+            local.extend("." * pending_dots)
+            pending_dots = 0
+            local.append(c)
+            i += 1
+            first = False
+        i -= pending_dots  # give trailing dots back to the statement
+        self.i = i
+        return "<" + ns + "".join(local) + ">"
+
+    def parse_iri(self) -> str:
+        if self.peek() == "<":
+            iri, self.i = scan_iriref(self.s, self.i, 0)
+            return "<" + resolve_or_validate(iri, self.base) + ">"
+        return self.parse_prefixed_name()
+
+    # -- literals (G15-G18) ----------------------------------------------------
+
+    def parse_long_string(self, quote: str) -> str:
+        """Triple-quoted multiline string; start cursor at first of 3 quotes."""
+        s, n = self.s, self.n
+        i = self.i + 3
+        out: list[str] = []
+        while i < n:
+            c = s[i]
+            if c == quote:
+                run = 1
+                while i + run < n and s[i + run] == quote and run < 5:
+                    run += 1
+                if run >= 3:
+                    out.append(quote * (run - 3))
+                    self.i = i + run
+                    return "".join(out)
+                out.append(quote * run)
+                i += run
+                continue
+            if c == "\\":
+                self.i = i
+                if i + 1 < n and s[i + 1] in "uU":
+                    ch, i = decode_uchar(s, i + 1, 0)
+                    out.append(ch)
+                    continue
+                e = s[i + 1] if i + 1 < n else ""
+                m = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+                     '"': '"', "'": "'", "\\": "\\"}.get(e)
+                if m is None:
+                    raise self.err("InvalidEscape", f"bad escape \\{e}")
+                out.append(m)
+                i += 2
+                continue
+            out.append(c)
+            i += 1
+        self.i = i
+        raise self.err("UnexpectedEof", "unterminated long string")
+
+    def parse_rdf_literal(self) -> str:
+        q = self.peek()
+        if self.s.startswith(q * 3, self.i):
+            value = self.parse_long_string(q)
+        else:
+            value, self.i = scan_string(self.s, self.i, q, 0)
+        lang = dt = None
+        c = self.peek()
+        if c == "@":
+            self.i += 1
+            s, n = self.s, self.n
+            start = self.i
+            i = start
+            while i < n and ((s[i].isalnum() and s[i].isascii()) or s[i] == "-"):
+                i += 1
+            self.i = i
+            lang = normalize_langtag(s[start:i], 0, start)
+        elif self.s.startswith("^^", self.i):
+            self.i += 2
+            self.skip_ws()
+            dt_iri = self.parse_iri()
+            dt = dt_iri[1:-1]
+        return encode_literal(value, lang, dt)
+
+    def parse_numeric_literal(self) -> str:
+        for rx, dt in ((_DOUBLE_RE, XSD_DOUBLE), (_DECIMAL_RE, XSD_DECIMAL),
+                       (_INTEGER_RE, XSD_INTEGER)):
+            m = rx.match(self.s, self.i)
+            if m:
+                self.i = m.end()
+                return encode_literal(m.group(), None, dt)
+        raise self.err("InvalidLiteral", "malformed numeric literal")
+
+    # -- terms -----------------------------------------------------------------
+
+    def parse_quoted_triple(self) -> QTriple:
+        """RDF-star << s p o >> (X5)."""
+        if not self.star:
+            raise self.err("UnexpectedChar", "RDF-star disabled")
+        self.enter()
+        self.i += 2
+        self.skip_ws()
+        subj = self.parse_qt_subject()
+        self.skip_ws()
+        pred = self.parse_verb()
+        self.skip_ws()
+        obj = self.parse_object(allow_sugar=False)
+        self.skip_ws()
+        if not self.s.startswith(">>", self.i):
+            raise self.err("UnexpectedChar", "expected '>>'")
+        self.i += 2
+        self.leave()
+        return QTriple(subj, pred, obj)
+
+    def parse_qt_subject(self) -> Term:
+        c = self.peek()
+        if c == "<" and self.s.startswith("<<", self.i):
+            return self.parse_quoted_triple()
+        if c == "_":
+            label, self.i = scan_blank_node_label(self.s, self.i, 0)
+            return BNode("u", label)
+        if c == "[":
+            # ANON only inside quoted triples
+            j = self.i + 1
+            while j < self.n and self.s[j] in " \t\r\n":
+                j += 1
+            if j < self.n and self.s[j] == "]":
+                self.i = j + 1
+                return self.fresh_bnode()
+            raise self.err("UnexpectedChar", "property list not allowed in quoted triple")
+        return self.parse_iri()
+
+    def parse_verb(self) -> str:
+        if self.peek() == "a":
+            j = self.i + 1
+            if j >= self.n or not (is_pn_chars(self.s[j]) or self.s[j] in ":."):
+                self.i = j
+                return RDF_TYPE
+        return self.parse_iri()
+
+    def parse_subject(self) -> Term:
+        c = self.peek()
+        if c == "(":
+            return self.parse_collection()
+        if c == "_":
+            label, self.i = scan_blank_node_label(self.s, self.i, 0)
+            return BNode("u", label)
+        if c == "<" and self.s.startswith("<<", self.i):
+            return self.parse_quoted_triple()
+        return self.parse_iri()
+
+    def parse_object(self, allow_sugar: bool = True) -> Term:
+        c = self.peek()
+        if not c:
+            raise self.err("UnexpectedEof", "expected object")
+        if c == "<":
+            if self.s.startswith("<<", self.i):
+                return self.parse_quoted_triple()
+            iri, self.i = scan_iriref(self.s, self.i, 0)
+            return "<" + resolve_or_validate(iri, self.base) + ">"
+        if c == "_":
+            label, self.i = scan_blank_node_label(self.s, self.i, 0)
+            return BNode("u", label)
+        if c == "(":
+            if not allow_sugar:
+                raise self.err("UnexpectedChar", "collection not allowed here")
+            return self.parse_collection()
+        if c == "[":
+            if not allow_sugar:
+                return self.parse_qt_subject()
+            return self.parse_bnode_property_list()
+        if c in "\"'":
+            return self.parse_rdf_literal()
+        if c.isdigit() or c in "+-.":
+            return self.parse_numeric_literal()
+        if self._keyword_ahead("true"):
+            self.i += 4
+            return encode_literal("true", None, XSD_BOOLEAN)
+        if self._keyword_ahead("false"):
+            self.i += 5
+            return encode_literal("false", None, XSD_BOOLEAN)
+        return self.parse_iri()
+
+    # -- sugar expansions (X1-X4, G19) -------------------------------------------
+
+    def parse_collection(self) -> Term:
+        """( e1 e2 … ) -> rdf:first/rdf:rest/rdf:nil chain (X3)."""
+        self.enter()
+        self.expect("(")
+        head: Term = RDF_NIL
+        prev: BNode | None = None
+        while True:
+            self.skip_ws()
+            if self.at_end():
+                raise self.err("UnexpectedEof", "unterminated collection")
+            if self.peek() == ")":
+                self.i += 1
+                break
+            cell = self.fresh_bnode()
+            if prev is None:
+                head = cell
+            else:
+                self.emit(prev, RDF_REST, cell)
+            obj = self.parse_object()
+            self.emit(cell, RDF_FIRST, obj)
+            prev = cell
+        if prev is not None:
+            self.emit(prev, RDF_REST, RDF_NIL)
+        self.leave()
+        return head
+
+    def parse_bnode_property_list(self) -> Term:
+        """[ p o ; … ] -> fresh bnode + inner triples (X4); [] -> ANON (G19)."""
+        self.enter()
+        self.expect("[")
+        self.skip_ws()
+        node = self.fresh_bnode()
+        if self.peek() == "]":
+            self.i += 1
+            self.leave()
+            return node
+        self.parse_predicate_object_list(node)
+        self.skip_ws()
+        self.expect("]")
+        self.leave()
+        return node
+
+    def parse_predicate_object_list(self, subject: Term) -> None:
+        """verb objectList (';' (verb objectList)?)* (X1/X2)."""
+        while True:
+            self.skip_ws()
+            pred = self.parse_verb()
+            # objectList: object (',' object)*
+            while True:
+                self.skip_ws()
+                obj = self.parse_object()
+                self.emit(subject, pred, obj)
+                self.parse_annotation_opt(subject, pred, obj)
+                self.skip_ws()
+                if self.peek() == ",":
+                    self.i += 1
+                    continue
+                break
+            # predicate continuation
+            saw_semi = False
+            while self.peek() == ";":
+                saw_semi = True
+                self.i += 1
+                self.skip_ws()
+            if not saw_semi:
+                return
+            c = self.peek()
+            if not c or c in ".]}|" or (c == ")" ):
+                return  # trailing ';'
+
+    def parse_annotation_opt(self, s: Term, p: Term, o: Term) -> None:
+        """RDF-star annotation ``{| … |}`` attaches metadata to << s p o >> (X2)."""
+        self.skip_ws()
+        if not self.s.startswith("{|", self.i):
+            return
+        if not self.star:
+            raise self.err("UnexpectedChar", "RDF-star disabled")
+        self.enter()
+        self.i += 2
+        self.parse_predicate_object_list(QTriple(s, p, o))
+        self.skip_ws()
+        if not self.s.startswith("|}", self.i):
+            raise self.err("UnexpectedChar", "expected '|}'")
+        self.i += 2
+        self.leave()
+
+    def parse_triples(self) -> None:
+        c = self.peek()
+        if c == "[":
+            # blankNodePropertyList predicateObjectList?
+            j = self.i + 1
+            while j < self.n and self.s[j] in " \t\r\n":
+                j += 1
+            is_anon = j < self.n and self.s[j] == "]"
+            subj = self.parse_bnode_property_list()
+            self.skip_ws()
+            if self.peek() != "." and not (self.quads and self.peek() in "}"):
+                self.parse_predicate_object_list(subj)
+            elif is_anon:
+                raise self.err("UnexpectedChar", "ANON subject needs predicates")
+        else:
+            subj = self.parse_subject()
+            self.skip_ws()
+            self.parse_predicate_object_list(subj)
+
+    # -- statements ---------------------------------------------------------------
+
+    def parse_directive_opt(self) -> bool:
+        if self.peek() == "@":
+            self.i += 1
+            if self.s.startswith("prefix", self.i):
+                self.i += 6
+                self.parse_prefix_directive(sparql_style=False)
+                return True
+            if self.s.startswith("base", self.i):
+                self.i += 4
+                self.parse_base_directive(sparql_style=False)
+                return True
+            raise self.err("UnexpectedChar", "unknown @directive")
+        if self._keyword_ahead("prefix"):
+            self.i += 6
+            self.parse_prefix_directive(sparql_style=True)
+            return True
+        if self._keyword_ahead("base"):
+            self.i += 4
+            self.parse_base_directive(sparql_style=True)
+            return True
+        return False
+
+    def parse_turtle_statement(self) -> None:
+        if self.parse_directive_opt():
+            return
+        self.parse_triples()
+        self.skip_ws()
+        self.expect(".")
+
+    # -- TriG blocks (S4, X6) -------------------------------------------------------
+
+    def parse_wrapped_graph(self, label: Term | None) -> None:
+        self.expect("{")
+        prev = self.graph
+        self.graph = label
+        while True:
+            self.skip_ws()
+            if self.at_end():
+                raise self.err("UnexpectedEof", "unterminated graph block")
+            if self.peek() == "}":
+                self.i += 1
+                break
+            self.parse_triples()
+            self.skip_ws()
+            if self.peek() == ".":
+                self.i += 1
+            elif self.peek() != "}":
+                raise self.err("UnexpectedChar", "expected '.' or '}' in graph block")
+        self.graph = prev
+
+    def parse_trig_block(self) -> None:
+        if self.parse_directive_opt():
+            return
+        c = self.peek()
+        if c == "{":
+            self.parse_wrapped_graph(None)
+            return
+        if self._keyword_ahead("graph"):
+            save = self.i
+            self.i += 5
+            self.skip_ws()
+            c2 = self.peek()
+            if c2 in "<_[" or c2 == ":" or is_pn_chars_base(c2):
+                label = self.parse_graph_label(label_only=True)
+                self.skip_ws()
+                self.parse_wrapped_graph(label)
+                return
+            self.i = save  # not the GRAPH keyword after all
+        if c == "[":
+            # ANON can label a graph: `[] { … }` (TriG labelOrSubject)
+            j = self.i + 1
+            while j < self.n and self.s[j] in " \t\r\n":
+                j += 1
+            if j < self.n and self.s[j] == "]":
+                k = j + 1
+                while k < self.n and self.s[k] in " \t\r\n":
+                    k += 1
+                if k < self.n and self.s[k] == "{":
+                    self.i = j + 1
+                    self.skip_ws()
+                    self.parse_wrapped_graph(self.fresh_bnode())
+                    return
+        if c in "(['\"" or (c and (c.isdigit() or c in "+-.")):
+            # cannot be a graph label — plain triples in the default graph
+            self.parse_triples()
+            self.skip_ws()
+            self.expect(".")
+            return
+        # iri | bnode-label | ANON: graph label iff '{' follows
+        label = self.parse_graph_label()
+        self.skip_ws()
+        if self.peek() == "{":
+            self.parse_wrapped_graph(label)
+            return
+        if isinstance(label, QTriple):
+            raise self.err("UnexpectedChar", "quoted triple cannot label a graph")
+        self.parse_predicate_object_list(label)
+        self.skip_ws()
+        self.expect(".")
+
+    def parse_graph_label(self, label_only: bool = False) -> Term:
+        c = self.peek()
+        if c == "_":
+            label, self.i = scan_blank_node_label(self.s, self.i, 0)
+            return BNode("u", label)
+        if c == "[":
+            # labelOrSubject only admits ANON, never a property list
+            j = self.i + 1
+            while j < self.n and self.s[j] in " \t\r\n":
+                j += 1
+            if j < self.n and self.s[j] == "]":
+                self.i = j + 1
+                return self.fresh_bnode()
+            raise self.err("UnexpectedChar", "property list cannot label a graph")
+        if c == "<" and self.s.startswith("<<", self.i):
+            if label_only:
+                raise self.err("UnexpectedChar", "quoted triple cannot label a graph")
+            return self.parse_quoted_triple()
+        return self.parse_iri()
+
+    # -- document -------------------------------------------------------------------
+
+    def run(self) -> tuple[list[tuple], list[dict], dict[str, str]]:
+        errors: list[dict] = []
+        try:
+            while True:
+                self.skip_ws()
+                if self.at_end():
+                    break
+                if self.quads:
+                    self.parse_trig_block()
+                else:
+                    self.parse_turtle_statement()
+        except ParseError as e:
+            if e.line == 0:
+                pos = e.byte or self.i
+                e.line = self.s.count("\n", 0, pos) + 1
+                e.byte = pos - self.s.rfind("\n", 0, pos)
+            # a Turtle syntax error poisons the rest of the document
+            # (statement-level recovery is not possible mid-grammar; SURVEY §7.3)
+            errors.append(e.as_row())
+        return self.out, errors, dict(self.prefixes)
+
+
+def parse_turtle(
+    text: str, base_iri: str | None = None, star: bool = True
+) -> tuple[list[tuple], list[dict]]:
+    """S3: Turtle(-star) document -> ([(s, p, o)], [error rows])."""
+    t, e, _ = _Parser(text, base_iri, quads=False, star=star).run()
+    return t, e
+
+
+def parse_trig(
+    text: str, base_iri: str | None = None, star: bool = True
+) -> tuple[list[tuple], list[dict]]:
+    """S4: TriG(-star) document -> ([(s, p, o, g)], [error rows])."""
+    t, e, _ = _Parser(text, base_iri, quads=True, star=star).run()
+    return t, e
+
+
+def turtle_prefixes(text: str, base_iri: str | None = None) -> dict[str, str]:
+    """Final prefix environment after parsing (cf. TurtleParser::prefixes)."""
+    _, _, p = _Parser(text, base_iri, quads=False, star=True).run()
+    return p
