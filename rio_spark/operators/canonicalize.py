@@ -1,0 +1,152 @@
+"""Canonicalization: alias merging via distributed connected components (J3).
+
+Implements the alternating large-star / small-star algorithm from the
+published "Connected Components in MapReduce and Beyond" approach — each
+round is two DataFrame self-aggregations, converging in O(log n) rounds —
+entirely with built-in ops (groupBy + min + explode), no Python in the loop.
+At 10^12-edge scale each round is one shuffle on the node key; lineage is cut
+with localCheckpoint so the plan doesn't grow across iterations.
+
+The reference's only join-like machinery is its bnode-isomorphism search
+(SURVEY.md §2.6); alias merging itself comes from the north rule: owl:sameAs
+(or linker-emitted equivalence) edges collapse each component onto one
+stable canonical IRI (lexicographic min — deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+OWL_SAMEAS = "<http://www.w3.org/2002/07/owl#sameAs>"
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Undirected edges -> (node, component) with component = min node id
+    (string comparison; IRIs/bnode labels are the node ids).
+
+    Alternates large-star and small-star steps until the edge set reaches a
+    fixpoint (every node points directly at its component minimum).
+    """
+    # symmetrize; self-loops are harmless and keep singletons addressable
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+
+    def large_star(g: DataFrame) -> DataFrame:
+        # Γ(u) is the UNDIRECTED neighborhood: symmetrize first (small-star
+        # output is directed). Then m = min(Γ(u) ∪ {u}); emit (v, m) for v > u.
+        g = g.unionByName(
+            g.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        nbrs = g.groupBy("u").agg(
+            F.collect_set("v").alias("nbrs"),
+        )
+        m = nbrs.select(
+            "u",
+            "nbrs",
+            F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u")))).alias("m"),
+        )
+        return (
+            m.select("u", "m", F.explode("nbrs").alias("v"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+        )
+
+    def small_star(g: DataFrame) -> DataFrame:
+        # orient edges to (max, min); for each u: m = min(smaller-nbrs ∪ {u});
+        # connect all smaller neighbors (and u) to m
+        oriented = g.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        nbrs = oriented.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        m = nbrs.select(
+            "u", "nbrs",
+            F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u")))).alias("m"),
+        )
+        return (
+            m.select("m", F.explode("nbrs").alias("v"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+
+    # fixpoint: stop when the edge set stops changing (count + order-free
+    # content hash — one cheap aggregate per round, converges in O(log n))
+    prev_sig = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free under ANSI
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    return comp.select(
+        F.col("u").alias("node"),
+        F.least("component", "u").alias("component"),
+    )
+
+
+def sameas_edges(triples: DataFrame) -> DataFrame:
+    """owl:sameAs triples -> undirected alias edges (IRI/bnode endpoints)."""
+    return triples.filter(F.col("predicate") == OWL_SAMEAS).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+
+
+def canonical_mapping(triples: DataFrame) -> DataFrame:
+    """(node, canonical) for every node touched by an alias edge, canonical =
+    lexicographic min of its component (stable entity IRI)."""
+    cc = connected_components(sameas_edges(triples))
+    return cc.select(F.col("node"), F.col("component").alias("canonical")).filter(
+        F.col("node") != F.col("canonical")
+    )
+
+
+def rewrite_triples(
+    triples: DataFrame, mapping: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """Rewrite subject/object through the alias mapping. The mapping is
+    usually tiny relative to the triple store -> broadcast joins (no shuffle
+    of the store). Pass broadcast=False when the alias set itself is huge;
+    the joins then sort-merge on subject/object, which bucketed graph-table
+    layouts co-locate (SURVEY.md §4.3)."""
+    m = F.broadcast(mapping) if broadcast else mapping
+    out = (
+        triples.join(
+            m.withColumnRenamed("node", "subject").withColumnRenamed("canonical", "s_canon"),
+            "subject",
+            "left",
+        )
+        .join(
+            m.withColumnRenamed("node", "object").withColumnRenamed("canonical", "o_canon"),
+            "object",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("s_canon", "subject").alias("subject"),
+            "predicate",
+            F.coalesce("o_canon", "object").alias("object"),
+            "graph",
+        )
+    )
+    # drop now-degenerate sameAs self loops
+    return out.filter(
+        ~((F.col("predicate") == F.lit(OWL_SAMEAS)) & (F.col("subject") == F.col("object")))
+    )
+
+
+def canonicalize(triples: DataFrame) -> DataFrame:
+    """Full pass: derive alias components from owl:sameAs edges and rewrite
+    every triple onto canonical ids."""
+    return rewrite_triples(triples, canonical_mapping(triples))

@@ -1,0 +1,136 @@
+"""Mention detection + two-stage entity linking (SURVEY.md §2.6 J1/J2).
+
+The reference has no joins; these stages come from the north rule. Design:
+
+* Mention detection is pure column ops: lowercase, split, posexplode, and
+  window-free n-gram assembly via ``transform`` over token arrays — all
+  whole-stage codegen, no Python.
+* Stage 1 (J1): ``broadcast`` hash join of candidate n-grams against the
+  (small) mention dictionary — the analogue of the reference's prefix-map
+  lookup (a small map replicated against a stream).
+* Stage 2 (J2): large×large resolution join on ``candidate_block`` for
+  dictionaries too big to broadcast — sort-merge with AQE skew-join
+  (enabled in session conf); hot mention keys are additionally salted by
+  replicating the dictionary side S ways so one block never lands on a
+  single task.
+* Resolution picks the best candidate per (doc, mention) by prior with a
+  window ``row_number`` — deterministic tie-break on candidate_iri.
+
+Output is triples in canonical string form, ready to union with extracted
+document triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+KG_MENTIONS = "<http://kg.example/ontology#mentions>"
+KG_LABEL = "<http://www.w3.org/2000/01/rdf-schema#label>"
+DOC_NS = "http://kg.example/doc/"
+
+MAX_NGRAM = 3
+
+
+def detect_mentions(docs: DataFrame, id_col: str = "conv_id", text_col: str = "text") -> DataFrame:
+    """Documents -> candidate mention n-grams (1..3 tokens), normalized.
+
+    Returns (doc_id, mention_key, pos). Token n-grams are built JVM-side:
+    split -> posexplode -> slice+array_join per n. The candidate stream is
+    large (O(tokens·3)); it is immediately filtered by the dictionary join,
+    so no driver materialization ever happens.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9' ]+", " ")), r"\s+").alias("toks"),
+    )
+    grams = None
+    for n in range(1, MAX_NGRAM + 1):
+        g = toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - (n - 1), F.lit(0))),
+                    lambda _, i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
+                )
+            ).alias("pos", "mention_key"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    return grams.filter(F.length("mention_key") > 1)
+
+
+def link_broadcast(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """J1: broadcast the dictionary against the mention stream."""
+    return mentions.join(F.broadcast(dictionary), "mention_key", "inner")
+
+
+def link_blocked(mentions: DataFrame, dictionary: DataFrame, salt: int = 8) -> DataFrame:
+    """J2: large×large join on candidate_block with explicit key salting.
+
+    The mention side gets a deterministic salt (hash of doc_id and pos) in
+    [0, salt); the dictionary side is replicated ``salt`` ways, so a hot
+    block ("paris" in half the corpus) spreads over ``salt`` tasks instead of
+    one. The join itself is forced sort-merge (no broadcast) — AQE skew-join
+    then splits any remaining oversized partition at runtime. The final
+    equality on the full mention_key happens *after* the block join, as in
+    classic blocking-based entity resolution.
+    """
+    m = mentions.withColumn(
+        "block", F.element_at(F.split(F.col("mention_key"), " "), 1)
+    ).withColumn("b_salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt)).cast("int"))
+    d = (
+        dictionary.withColumnRenamed("mention_key", "d_key")
+        .withColumnRenamed("candidate_block", "block")
+        .withColumn("b_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    )
+    return (
+        m.join(d.hint("shuffle_merge"), ["block", "b_salt"], "inner")
+        .filter(F.col("mention_key") == F.col("d_key"))
+        .drop("d_key", "block", "b_salt")
+    )
+
+
+def resolve_candidates(candidates: DataFrame) -> DataFrame:
+    """Best candidate per (doc_id, pos, mention_key) by prior desc, IRI asc."""
+    w = Window.partitionBy("doc_id", "pos", "mention_key").orderBy(
+        F.col("prior").desc(), F.col("candidate_iri").asc()
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def mention_triples(resolved: DataFrame) -> DataFrame:
+    """Resolved mentions -> canonical triples:
+    <doc> kg:mentions <entity> ; <entity> rdfs:label "mention_key"."""
+    doc_iri = F.concat(F.lit("<" + DOC_NS), F.col("doc_id"), F.lit(">"))
+    ent_iri = F.concat(F.lit("<"), F.col("candidate_iri"), F.lit(">"))
+    mention_lit = F.concat(F.lit('"'), F.col("mention_key"), F.lit('"'))
+    a = resolved.select(
+        F.col("doc_id"),
+        doc_iri.alias("subject"),
+        F.lit(KG_MENTIONS).alias("predicate"),
+        ent_iri.alias("object"),
+        F.lit(None).cast("string").alias("graph"),
+    )
+    b = resolved.select(
+        F.col("doc_id"),
+        ent_iri.alias("subject"),
+        F.lit(KG_LABEL).alias("predicate"),
+        mention_lit.alias("object"),
+        F.lit(None).cast("string").alias("graph"),
+    )
+    return a.unionByName(b).dropDuplicates(["doc_id", "subject", "predicate", "object"])
+
+
+def link_entities(
+    docs: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True
+) -> DataFrame:
+    """Full linking stage: detect -> join -> resolve -> triples."""
+    mentions = detect_mentions(docs)
+    if broadcast_dict:
+        cands = link_broadcast(mentions, dictionary)
+    else:
+        cands = link_blocked(mentions, dictionary)
+    return mention_triples(resolve_candidates(cands))

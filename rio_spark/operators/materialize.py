@@ -1,0 +1,116 @@
+"""Graph-table materialization with MERGE-style dedup, lineage, and resume (K6).
+
+Production design (SURVEY.md §4.3): an Iceberg table partitioned by
+``bucket(N, subject)`` + ``graph``, written with ``MERGE INTO`` on the quad
+key, one lineage row per committed input partition. The Iceberg runtime jar
+is not on this image's classpath, so the same contract is implemented on
+parquet:
+
+* graph table   — parquet dir partitioned by ``p_bucket = pmod(xxhash64(subject), N)``
+                  (hidden-partitioning analogue; subject-key joins prune buckets);
+* MERGE         — append-only with an anti-join against the existing quad set
+                  restricted to the incoming buckets (no full-table rewrite);
+* lineage       — parquet table (input_snapshot_id, partition_hash,
+                  triple_count, committed_at); a partition is the unit of
+                  commit AND of resume: reruns anti-join the input partition
+                  list against lineage and skip committed ones.
+
+Atomicity caveat: parquet append is not transactional; Iceberg snapshots
+provide that in production. The resume contract (no duplicate quads, skip
+committed partitions) is what the tests pin down.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+GRAPH_COLUMNS = ["subject", "predicate", "object", "graph", "p_bucket"]
+LINEAGE_SCHEMA = (
+    "input_snapshot_id string, partition_hash string, triple_count long, committed_at double"
+)
+
+
+class GraphStore:
+    def __init__(self, root: str, n_buckets: int = 64):
+        self.root = Path(root)
+        self.n_buckets = n_buckets
+        self.graph_dir = str(self.root / "graph")
+        self.lineage_dir = str(self.root / "lineage")
+
+    # -- reads ---------------------------------------------------------------
+
+    def graph(self, spark: SparkSession) -> DataFrame:
+        if not Path(self.graph_dir).exists():
+            return spark.createDataFrame(
+                [], "subject string, predicate string, object string, graph string, p_bucket int"
+            )
+        return spark.read.parquet(self.graph_dir)
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        if not Path(self.lineage_dir).exists():
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        return spark.read.parquet(self.lineage_dir)
+
+    def committed_partitions(self, spark: SparkSession, snapshot_id: str) -> set[str]:
+        lin = self.lineage(spark)
+        return {
+            r["partition_hash"]
+            for r in lin.filter(F.col("input_snapshot_id") == snapshot_id)
+            .select("partition_hash")
+            .distinct()
+            .collect()
+        }
+
+    # -- writes ---------------------------------------------------------------
+
+    def _bucketed(self, triples: DataFrame) -> DataFrame:
+        return triples.select(
+            "subject", "predicate", "object", "graph",
+            F.pmod(F.xxhash64("subject"), F.lit(self.n_buckets)).cast("int").alias("p_bucket"),
+        )
+
+    def merge(self, spark: SparkSession, triples: DataFrame) -> int:
+        """MERGE semantics: insert quads not already present. Returns rows added.
+
+        The anti-join reads only the buckets the incoming batch touches
+        (partition pruning on p_bucket), so merge cost scales with batch
+        size, not table size."""
+        batch = self._bucketed(triples).dropDuplicates(
+            ["subject", "predicate", "object", "graph"]
+        )
+        existing = self.graph(spark)
+        if existing.isEmpty():
+            new_rows = batch
+        else:
+            buckets = [r["p_bucket"] for r in batch.select("p_bucket").distinct().collect()]
+            scoped = (
+                existing.filter(F.col("p_bucket").isin(buckets))
+                .select("subject", "predicate", "object", "graph")
+                .alias("ex")
+            )
+            b = batch.alias("b")
+            # null-safe equality on graph: the default graph is NULL and a
+            # plain equi-join would re-insert it forever
+            cond = (
+                (F.col("b.subject") == F.col("ex.subject"))
+                & (F.col("b.predicate") == F.col("ex.predicate"))
+                & (F.col("b.object") == F.col("ex.object"))
+                & F.col("b.graph").eqNullSafe(F.col("ex.graph"))
+            )
+            new_rows = b.join(scoped, cond, "left_anti")
+        new_rows = new_rows.cache()
+        n = new_rows.count()
+        if n:
+            new_rows.write.mode("append").partitionBy("p_bucket").parquet(self.graph_dir)
+        new_rows.unpersist()
+        return n
+
+    def commit_lineage(
+        self, spark: SparkSession, snapshot_id: str, partition_hash: str, triple_count: int
+    ) -> None:
+        spark.createDataFrame(
+            [(snapshot_id, partition_hash, triple_count, time.time())], LINEAGE_SCHEMA
+        ).write.mode("append").parquet(self.lineage_dir)

@@ -1,0 +1,73 @@
+"""Formatter round-trips (reference turtle/tests/roundtrip.rs semantics):
+parse(format(G)) is isomorphic to G, for NT, NQ, and grouped Turtle/TriG."""
+
+import pandas as pd
+import pytest
+
+from rio_spark.formatters import format_nquads, format_ntriples, format_trig, format_turtle
+from rio_spark.kernels import parse_nquads, parse_ntriples, parse_trig, parse_turtle
+from rio_spark.model import serialize_triples
+from rio_spark.testing.isomorphism import are_isomorphic
+
+ROWS = [
+    ("d", "<http://e/s>", "<http://e/p>", "<http://e/o>", None),
+    ("d", "<http://e/s>", "<http://e/p>", '"lit with \\"quotes\\" and \\n newline"', None),
+    ("d", "<http://e/s>", "<http://e/q>", '"v"@en', None),
+    ("d", "<http://e/s2>", "<http://e/p>", '"42"^^<http://www.w3.org/2001/XMLSchema#integer>', None),
+    ("d", "_:b0", "<http://e/p>", "_:b1", None),
+    ("d", "<http://e/s3>", "<http://e/p>", "<http://e/o>", "<http://e/g>"),
+    ("d", "<http://e/s3>", "<http://e/r>", '"x"', "<http://e/g>"),
+]
+
+
+@pytest.fixture(scope="module")
+def quads_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "subject", "predicate", "object", "graph"])
+    )
+
+
+def _triple_rows(include_graph=False):
+    if include_graph:
+        return [(s, p, o, g) for _, s, p, o, g in ROWS]
+    return [(s, p, o) for _, s, p, o, g in ROWS if g is None]
+
+
+def test_ntriples_roundtrip(spark, quads_df):
+    lines = format_ntriples(quads_df.filter("graph IS NULL")).toPandas()["line"]
+    doc = "\n".join(lines)
+    t, errs = parse_ntriples(doc)
+    assert not errs
+    assert are_isomorphic(serialize_triples(t), _triple_rows())
+
+
+def test_nquads_roundtrip(spark, quads_df):
+    lines = format_nquads(quads_df).toPandas()["line"]
+    t, errs = parse_nquads("\n".join(lines))
+    assert not errs
+    assert are_isomorphic(serialize_triples(t), _triple_rows(include_graph=True))
+
+
+def test_turtle_roundtrip_and_grouping(spark, quads_df):
+    df = quads_df.filter("graph IS NULL")
+    blocks = format_turtle(df).toPandas()["block"]
+    # same-subject grouping: one block per subject
+    assert len(blocks) == df.select("subject").distinct().count()
+    s_block = next(b for b in blocks if b.startswith("<http://e/s>"))
+    assert " ;\n  " in s_block and " , " in s_block
+    t, errs = parse_turtle("\n".join(blocks))
+    assert not errs
+    assert are_isomorphic(serialize_triples(t), _triple_rows())
+
+
+def test_trig_roundtrip(spark, quads_df):
+    blocks = format_trig(quads_df).toPandas()["block"]
+    t, errs = parse_trig("\n".join(blocks))
+    assert not errs
+    assert are_isomorphic(serialize_triples(t), _triple_rows(include_graph=True))
+
+
+def test_formatters_are_pure_column_ops(spark, quads_df):
+    for fmt in (format_ntriples, format_nquads, format_turtle, format_trig):
+        plan = fmt(quads_df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "MapInPandas" not in plan

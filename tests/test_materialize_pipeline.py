@@ -1,0 +1,116 @@
+"""Graph store MERGE/lineage semantics + full-pipeline resume (FIXTURES.md T5).
+
+Resume contract: run the job, kill it after the first committed partitions,
+rerun — previously committed partitions are skipped and the final quad set
+has no duplicates (identical to an uninterrupted run).
+"""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from rio_spark.operators.materialize import GraphStore
+from rio_spark.pipeline import run_pipeline
+from rio_spark.sources.entity_dictionary import entity_dictionary
+from rio_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    conformance_meta,
+    synthetic_transcripts_pdf,
+)
+from rio_spark.testing.corpus import load_corpus
+
+CORPUS = load_corpus()
+N_CONVS = 120
+
+
+def quads(pdf_rows):
+    return pd.DataFrame(
+        pdf_rows, columns=["doc_id", "subject", "predicate", "object", "graph"]
+    )
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    store = GraphStore(str(tmp_path / "store"), n_buckets=4)
+    batch = spark.createDataFrame(
+        quads([("d", "<s>", "<p>", "<o>", None), ("d", "<s>", "<p>", "<o2>", "<g>")])
+    )
+    assert store.merge(spark, batch) == 2
+    assert store.merge(spark, batch) == 0  # re-merge adds nothing
+    assert store.graph(spark).count() == 2
+    more = spark.createDataFrame(quads([("d", "<s>", "<p>", "<o3>", None)]))
+    assert store.merge(spark, more) == 1
+    assert store.graph(spark).count() == 3
+
+
+def test_merge_prunes_buckets(spark, tmp_path):
+    store = GraphStore(str(tmp_path / "store"), n_buckets=8)
+    b1 = spark.createDataFrame(quads([("d", f"<s{i}>", "<p>", "<o>", None) for i in range(50)]))
+    store.merge(spark, b1)
+    # a single-subject batch must only scan its own bucket
+    b2 = spark.createDataFrame(quads([("d", "<s1>", "<p>", "<oNEW>", None)]))
+    assert store.merge(spark, b2) == 1
+
+
+@pytest.fixture(scope="module")
+def pipeline_inputs(spark):
+    pdf, _ = synthetic_transcripts_pdf(N_CONVS, CORPUS)
+    transcripts = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).cache()
+    meta = conformance_meta(N_CONVS, CORPUS)
+    meta_df = spark.createDataFrame(
+        meta[["conv_id", "format", "base_iri"]].where(pd.notnull(meta), None)
+    )
+    return transcripts, meta_df, entity_dictionary(spark)
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path, pipeline_inputs):
+    transcripts, meta_df, dictionary = pipeline_inputs
+
+    # uninterrupted reference run
+    full_store = GraphStore(str(tmp_path / "full"), n_buckets=8)
+    rep_full = run_pipeline(
+        spark, transcripts, full_store, "snap1", meta_df, dictionary, n_groups=4
+    )
+    assert rep_full.groups_committed == 4
+    assert rep_full.triples_merged > 0
+    full = full_store.graph(spark)
+    n_full = full.count()
+    assert (
+        full.dropDuplicates(["subject", "predicate", "object", "graph"]).count() == n_full
+    )
+
+    # killed-after-2-groups run, then resume
+    part_store = GraphStore(str(tmp_path / "resumed"), n_buckets=8)
+    rep1 = run_pipeline(
+        spark, transcripts, part_store, "snap1", meta_df, dictionary,
+        n_groups=4, stop_after_groups=2,
+    )
+    assert rep1.groups_committed == 2
+    rep2 = run_pipeline(
+        spark, transcripts, part_store, "snap1", meta_df, dictionary, n_groups=4
+    )
+    assert rep2.groups_skipped == 2  # lineage skipped committed partitions
+    assert rep2.groups_committed == 2
+    resumed = part_store.graph(spark)
+    assert resumed.count() == n_full
+    # exact same quad set as the uninterrupted run
+    key = ["subject", "predicate", "object", "graph"]
+    assert resumed.select(key).exceptAll(full.select(key)).isEmpty()
+    assert full.select(key).exceptAll(resumed.select(key)).isEmpty()
+    # error rows were observed (corrupt convs exist in the corpus)
+    assert rep_full.error_rows > 0
+
+
+def test_lineage_rows_recorded(spark, tmp_path, pipeline_inputs):
+    transcripts, meta_df, dictionary = pipeline_inputs
+    store = GraphStore(str(tmp_path / "lin"), n_buckets=4)
+    run_pipeline(spark, transcripts, store, "snapA", meta_df, dictionary, n_groups=3)
+    lin = store.lineage(spark).toPandas()
+    assert set(lin.partition_hash) == {"g0000", "g0001", "g0002"}
+    assert (lin.triple_count >= 0).all()
+    # second snapshot id reprocesses (lineage is per input snapshot)
+    run_pipeline(spark, transcripts, store, "snapB", meta_df, dictionary, n_groups=3)
+    lin2 = store.lineage(spark).toPandas()
+    assert len(lin2) == 6
+    snapB = lin2[lin2.input_snapshot_id == "snapB"]
+    assert (snapB.triple_count == 0).all()  # nothing new: merge dedups
