@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and n-gram Jaccard — every stage is built-in column ops
+(split / transform / aggregate / md5 / explode / self-join), so the whole
+family is JVM-side, shuffle-efficient, and oracle-checkable: hashes are
+md5-based on purpose, because md5 is identically defined in Spark and DuckDB
+(xxhash64 is not), which makes the driver's side-by-side correctness gate
+meaningful.
+
+Scale notes (100 TB): exact dedup is one shuffle on a 32-hex-char key;
+MinHash-LSH replaces the quadratic all-pairs comparison with a band-bucket
+self-join whose fan-out is bounded by bucket size — hot buckets (boilerplate
+docs) are the skew risk, handled by AQE skew-join plus an optional bucket-size
+cap; candidate verification re-checks true Jaccard only within candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalize_text(col):
+    """Lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def tokens_col(col):
+    return F.split(normalize_text(col), " ")
+
+
+def shingles_col(col, n: int = 3):
+    """Token n-gram shingles as an array column (empty-safe)."""
+    toks = tokens_col(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups on normalized text.
+
+    -> (doc_id, rep_id, group_size): rep_id = min doc_id of the group. One
+    hash-aggregate shuffle on the md5 key; map-side partial aggregation
+    applies because the key is derived, not the full text."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(normalize_text(F.col(text_col))).alias("h")
+    )
+    groups = keyed.groupBy("h").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("group_size")
+    )
+    return keyed.join(groups, "h").select("doc_id", "rep_id", "group_size")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """-> (doc_id, sig array<string> of k minhashes).
+
+    minhash_i = min over shingles of md5('{i}:' || shingle) — k independent
+    permutations approximated by salted hashes; all inside one projection
+    (no shuffle, no Python)."""
+    sh = shingles_col(F.col(text_col), shingle)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    k minhashes split into `bands` bands of k/bands rows; docs sharing any
+    band signature become a candidate pair. -> (doc_a, doc_b) with
+    doc_a < doc_b, distinct. The self-join runs on (band_id, band_sig) —
+    a narrow key — and never materializes the quadratic pair space."""
+    assert k % bands == 0
+    rows = k // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, shingle)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(F.slice("sig", b * rows + 1, rows), "|")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate verification.
+
+    Explodes distinct shingles, self-joins on shingle (inverted-index join —
+    only docs sharing a shingle ever meet), counts intersections, computes
+    |A∩B| / (|A|+|B|-|A∩B|). -> (doc_a, doc_b, jaccard) above threshold.
+    """
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("sh"),
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 bits: int = 16) -> DataFrame:
+    """SimHash fingerprint as a bit string (cross-engine checkable).
+
+    bit_i of a token = parity of the i-th hex nibble of md5(token); the doc
+    bit is the sign of the sum of (2*bit-1) over tokens. -> (doc_id, simhash
+    string of '0'/'1'). Hamming distance between fingerprints approximates
+    cosine similarity of token multisets."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    ).withColumn("h", F.md5("t"))
+    aggs = [
+        F.sum(
+            F.when(F.ascii(F.substring("h", i + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    bitstr = F.concat(
+        *[F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+    )
+    return per_doc.select("doc_id", bitstr.alias("simhash"))

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine is the exactness baseline: dot products via
+``F.aggregate(F.zip_with(...))`` — JVM-side, no UDF, scans once, no shuffle
+until the top-k. The scale path is LSH bucketing with data-derived random
+hyperplanes (the first ``n_planes`` embeddings, deterministic — no RNG in the
+plan): sign-bit bucket key -> candidates share a bucket -> exact cosine only
+within buckets. At 10^12 rows the bucket join replaces the O(N) scan per
+query with a pruned probe; multi-probe (flipping one bit) trades recall back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_to_query(
+    embeddings: DataFrame, query_vec: list[float], id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, cosine) against a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        (_dot(v, q) / (_norm(v) * _norm(q))).alias("cosine"),
+    )
+
+
+def topk_cosine(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, **kw
+) -> DataFrame:
+    """Brute-force exact top-k (the baseline an ANN variant is judged by)."""
+    return (
+        cosine_to_query(embeddings, query_vec, **kw)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def cosine_pairs_above(
+    embeddings: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_to: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: exact all-pairs cosine >= threshold.
+
+    Quadratic — correctness baseline for small N; use LSH buckets at scale.
+    Cosines are rounded so accumulation order can't flip comparisons across
+    engines."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    av, bv = F.col("a.v"), F.col("b.v")
+    cos = _dot(av, bv) / (_norm(av) * _norm(bv))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH with deterministic, data-derived planes: the
+    ``n_planes`` lowest-id embeddings act as hyperplane normals. -> (vec_id,
+    bucket string of sign bits). Collisions preserve cosine locality."""
+    planes = [
+        [float(x) for x in r[1]]
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_planes)
+        .collect()
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(_dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.concat(*bits).alias("bucket")
+    )
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's LSH bucket
+    (falls back to brute force if the bucket is smaller than k)."""
+    buckets = lsh_bucket_ids(embeddings, n_planes, id_col, vec_col)
+    planes = [
+        [float(x) for x in r[1]]
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_planes)
+        .collect()
+    ]
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(q_plane, query_vec)) >= 0 else "0"
+        for q_plane in planes
+    )
+    cand = embeddings.join(
+        buckets.filter(F.col("bucket") == qbits).select("vec_id"),
+        embeddings[id_col] == F.col("vec_id"),
+        "left_semi",
+    )
+    if cand.limit(k).count() < k:
+        cand = embeddings
+    return topk_cosine(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,126 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; zero UDFs) and all
+deterministic, so each has an exact DuckDB oracle. Heuristics are simple on
+purpose — the value here is the distributed shape (single projection over the
+scan, aggregations with partial combine), not NLP sophistication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rio_spark.operators.dedup import normalize_text, tokens_col
+
+# tiny stopword profiles for the n-gram/stopword language heuristic
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+
+def _padded(col):
+    return F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+
+
+def _profile_hits(col, words: list[str]):
+    """Total occurrences of profile words with token boundaries — counted via
+    length difference under replace (vectorized, no explode)."""
+    padded = _padded(col)
+    hits = None
+    for w in words:
+        token = f" {w} "
+        # overlapping occurrences don't exist for space-delimited tokens;
+        # replace with a shorter marker and divide the length delta
+        n = (
+            F.length(padded)
+            - F.length(F.replace(padded, F.lit(token), F.lit(" ")))
+        ) / F.lit(len(token) - 1)
+        hits = n if hits is None else hits + n
+    return hits.cast("double")
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, lang_pred, lang_score): argmax of stopword-profile hit
+    counts, deterministic tie-break by language code."""
+    c = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[_profile_hits(c, ws).alias(f"score_{lang}") for lang, ws in LANG_PROFILES.items()],
+    )
+    langs = sorted(LANG_PROFILES)  # tie-break: alphabetical
+    struct_arr = F.array(
+        *[
+            F.struct(
+                (-F.col(f"score_{l}")).alias("neg"), F.lit(l).alias("lang"),
+                F.col(f"score_{l}").alias("score"),
+            )
+            for l in langs
+        ]
+    )
+    best = F.array_min(struct_arr)
+    return scored.select(
+        "doc_id", best["lang"].alias("lang_pred"), best["score"].alias("lang_score")
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, n_chars, avg_token_len) — whitespace+regex
+    tokenizer (the BPE-ish split is the normalize_text regex)."""
+    toks = tokens_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, punct_ratio, stopword_ratio, upper_ratio, quality)
+    length/punctuation/stopword heuristics; quality in [0,1]."""
+    c = F.col(text_col)
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    punct = (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))) / n_chars
+    upper = (F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))) / n_chars
+    toks = tokens_col(c)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop = _profile_hits(c, EN_STOPWORDS) / n_toks
+    quality = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) + stop - punct * 2 - F.when(F.length(c) < 20, 0.5).otherwise(0.0),
+            ),
+        ),
+        4,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(stop, 4).alias("stopword_ratio"),
+        F.round(upper, 4).alias("upper_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, fp): md5 of normalized text (whole-doc fingerprint) plus
+    a rolling 5-token shingle min-hash (content-shift tolerant)."""
+    from rio_spark.operators.dedup import shingles_col
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+        F.array_min(F.transform(shingles_col(F.col(text_col), 5), F.md5)).alias("rolling_fp"),
+    )

@@ -1,0 +1,182 @@
+"""Training-data pipeline operators: dedup family, similarity search, text
+analysis, multimodal plumbing, sessionization, streaming windows."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from rio_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_bits,
+)
+from rio_spark.operators.multimodal import (
+    extract_features,
+    resize_meta,
+    sample_frames,
+    synthetic_assets,
+)
+from rio_spark.operators.sessions import session_stats, tumbling_counts
+from rio_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_pairs_above,
+    topk_cosine,
+)
+from rio_spark.operators.text import fingerprint, language_id, quality_score, token_stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        ("a1", base),
+        ("a2", base),  # exact dup of a1
+        ("a3", base.replace("today", "tomorrow")),  # near dup
+        ("b1", "completely different content about spark shuffles and parquet files"),
+        ("b2", "Numbers 123 and UPPER case!!! with punctuation??? and short"),
+        ("c1", "el gato y el perro de la casa que los vecinos"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_dedup_exact_groups(spark, docs):
+    out = dedup_exact(docs).toPandas().set_index("doc_id")
+    assert out.loc["a1", "rep_id"] == "a1" and out.loc["a2", "rep_id"] == "a1"
+    assert out.loc["a1", "group_size"] == 2
+    assert out.loc["b1", "group_size"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, k=16, bands=8).collect()
+    }
+    assert ("a1", "a2") in pairs  # identical docs always collide
+    assert ("a1", "a3") in pairs or ("a2", "a3") in pairs  # near-dup likely
+    assert ("a1", "b1") not in pairs
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = minhash_signatures(docs, k=8).toPandas()
+    assert all(len(s) == 8 for s in sigs.sig)
+    s1 = sigs[sigs.doc_id == "a1"].sig.iloc[0]
+    s2 = sigs[sigs.doc_id == "a2"].sig.iloc[0]
+    assert list(s1) == list(s2)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    d = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.itertuples()}
+    assert d[("a1", "a2")] == 1.0
+    assert 0.5 <= d[("a1", "a3")] < 1.0
+    assert ("a1", "b1") not in d
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    sh = simhash_bits(docs).toPandas().set_index("doc_id")["simhash"]
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    assert ham(sh["a1"], sh["a2"]) == 0
+    assert ham(sh["a1"], sh["a3"]) <= ham(sh["a1"], sh["b1"])
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_topk_cosine_self_is_first(spark, embeddings):
+    q = [float(x) for x in embeddings.filter("vec_id = 0").first()["embedding"]]
+    top = topk_cosine(embeddings, q, k=5).toPandas()
+    assert top.vec_id.iloc[0] == 0
+    assert abs(top.cosine.iloc[0] - 1.0) < 1e-9
+    assert (top.cosine.diff().dropna() <= 1e-12).all()
+
+
+def test_ann_lsh_contains_exact_top1(spark, embeddings):
+    q = [float(x) for x in embeddings.filter("vec_id = 7").first()["embedding"]]
+    ann = ann_topk_lsh(embeddings, q, k=5, n_planes=4).toPandas()
+    assert 7 in set(ann.vec_id)
+
+
+def test_cosine_pairs_above(spark, embeddings):
+    sub = embeddings.filter("vec_id < 40")
+    pairs = cosine_pairs_above(sub, threshold=0.0).toPandas()
+    assert (pairs.vec_a < pairs.vec_b).all()
+    assert (pairs.cosine <= 1.0).all()
+
+
+def test_language_id(spark, docs):
+    out = language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc["a1", "lang_pred"] == "en"
+    assert out.loc["c1", "lang_pred"] == "es"
+
+
+def test_token_stats_and_quality(spark, docs):
+    ts = token_stats(docs).toPandas().set_index("doc_id")
+    assert ts.loc["a1", "n_tokens"] == 14
+    q = quality_score(docs).toPandas().set_index("doc_id")
+    assert q.loc["a1", "quality"] > q.loc["b2", "quality"]
+    assert q.loc["b2", "punct_ratio"] > 0
+
+
+def test_fingerprint_deterministic(spark, docs):
+    fp1 = fingerprint(docs).toPandas().set_index("doc_id")
+    assert fp1.loc["a1", "fp"] == fp1.loc["a2", "fp"]
+    assert fp1.loc["a1", "fp"] != fp1.loc["b1", "fp"]
+    assert len(fp1.loc["a1", "fp"]) == 32
+
+
+def test_multimodal_features(spark):
+    assets = synthetic_assets(spark, n=12).cache()
+    feats = extract_features(assets).toPandas()
+    assert len(feats) == 12
+    assert all(len(f) == 16 for f in feats.features)
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in feats.features)
+    # determinism
+    feats2 = extract_features(assets).toPandas().sort_values("asset_id")
+    assert list(feats.sort_values("asset_id").features.map(tuple)) == list(
+        feats2.features.map(tuple)
+    )
+
+
+def test_multimodal_frames_and_resize(spark):
+    assets = synthetic_assets(spark, n=12)
+    frames = sample_frames(assets, every_ms=500).toPandas()
+    assert (frames.offset_ms % 500 == 0).all()
+    rs = resize_meta(assets, max_dim=32).toPandas()
+    assert (rs.target_width <= 32).all() and (rs.target_height <= 32).all()
+
+
+def test_sessionization(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    st = session_stats(events, gap_minutes=30).toPandas()
+    assert (st.n_events >= 1).all()
+    assert (st.t_end >= st.t_start).all()
+    tc = tumbling_counts(events, minutes=60).toPandas()
+    assert tc.n.sum() == events.count()
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from rio_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        windowed_counts_stream,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+    q = run_to_memory(
+        windowed_counts_stream(read_event_stream(spark, src), minutes=60), "win_counts"
+    )
+    try:
+        got = spark.sql("SELECT sum(n) AS total FROM win_counts").first()["total"]
+        assert got == events.count()
+    finally:
+        q.stop()
