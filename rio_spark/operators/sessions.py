@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """-> events + session_id (user-scoped counter) via lag/gap/cumsum."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # parquet may carry TIMESTAMP_NTZ; go via TIMESTAMP (session tz = UTC)
+    # because ANSI mode forbids a direct NTZ -> BIGINT cast
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return events.withColumn(
         "session_id", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))

@@ -119,10 +119,11 @@ def ann_topk_lsh(
         "1" if sum(a * b for a, b in zip(q_plane, query_vec)) >= 0 else "0"
         for q_plane in planes
     )
+    in_bucket = buckets.filter(F.col("bucket") == qbits).select(
+        F.col("vec_id").alias("cand_id")
+    )
     cand = embeddings.join(
-        buckets.filter(F.col("bucket") == qbits).select("vec_id"),
-        embeddings[id_col] == F.col("vec_id"),
-        "left_semi",
+        in_bucket, embeddings[id_col] == F.col("cand_id"), "left_semi"
     )
     if cand.limit(k).count() < k:
         cand = embeddings
