@@ -69,14 +69,14 @@ def minhash_signatures(
     permutations approximated by salted hashes; all inside one projection
     (no shuffle, no Python)."""
     sh = shingles_col(F.col(text_col), shingle)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            ).alias(f"mh{i}")
-            for i in range(k)
-        ]
-    )
+
+    def mh(idx: int):
+        # NB: the lambda must be unary — a two-arg lambda would receive the
+        # array index as its second argument and clobber the salt
+        salt = F.lit(f"{idx}:")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(salt, s))))
+
+    sig = F.array(*[mh(i) for i in range(k)])
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
