@@ -122,6 +122,15 @@ def errors_of(extracted: DataFrame) -> DataFrame:
     )
 
 
+def strict_triples(extracted: DataFrame) -> DataFrame:
+    """Conformance-mode filter: drop ALL triples from documents that produced
+    any error row (the reference's parse_all returns Err for the whole doc —
+    salvaged triples are never collected). Production pipelines keep salvage;
+    eval suites use this."""
+    bad_docs = extracted.filter(F.col("error_kind").isNotNull()).select("doc_id").distinct()
+    return triples_of(extracted).join(bad_docs, "doc_id", "left_anti")
+
+
 def dedup_triples(triples: DataFrame) -> DataFrame:
     """Dataset set semantics (a dataset is a deduplicated set of quads —
     SURVEY.md §1.1): global distinct over the quad key."""

@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the grammar kernels — the analogue
+of the reference's fuzz targets (SURVEY.md §5.7): no crashes on arbitrary
+input, encode/parse round-trips, fast-path/slow-path agreement."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from rio_spark.kernels import parse_ntriples, parse_trig, parse_turtle
+from rio_spark.kernels.ntriples import _FAST_LINE
+from rio_spark.model import decode_literal, encode_literal, serialize_triples
+
+simple_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,;@#<>\"'\\{}()[]^^_:-+\n\t",
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(simple_text)
+def test_parsers_never_crash(text):
+    """Errors become rows; no exception may escape the kernel."""
+    for parser in (parse_ntriples, parse_turtle):
+        triples, errors = parser(text)
+        serialize_triples(triples)  # and serialization never crashes either
+    parse_trig(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=100))
+def test_parsers_never_crash_unicode(text):
+    parse_turtle(text, base_iri="http://e/")
+    parse_ntriples(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(max_size=80),
+    st.one_of(st.none(), st.sampled_from(["en", "en-us", "zh-hans"])),
+)
+def test_literal_encode_decode_roundtrip(value, lang):
+    canon = encode_literal(value, lang)
+    v, l, dt = decode_literal(canon)
+    assert v == value and l == lang and dt is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_literal_through_ntriples_parser(value):
+    canon = encode_literal(value)
+    line = f"<http://s> <http://p> {canon} ."
+    triples, errors = parse_ntriples(line)
+    assert not errors, (value, errors)
+    rows = serialize_triples(triples)
+    assert decode_literal(rows[0][2])[0] == value
+
+
+IRI_SAFE = string.ascii_letters + string.digits + "/._-~:#?&="
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet=IRI_SAFE, min_size=1, max_size=40).map(lambda s: "http://x/" + s),
+    st.text(alphabet=IRI_SAFE, min_size=1, max_size=40).map(lambda s: "http://p/" + s),
+    st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=30),
+)
+def test_fast_path_matches_slow_path(s_iri, p_iri, lit):
+    """The regex fast line must produce exactly what the cursor parser does."""
+    line = f'<{s_iri}> <{p_iri}> "{lit}" .'
+    assert _FAST_LINE.match(line) is not None
+    fast, e1 = parse_ntriples(line)
+    # force the slow path by appending a line that contains a backslash
+    slow, e2 = parse_ntriples(line + '\n<http://a> <http://b> "x\\n" .')
+    assert not e1 and not e2
+    assert serialize_triples(fast)[0] == serialize_triples(slow)[0]
