@@ -20,6 +20,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# `python jobs/run_pipeline.py` puts jobs/ (not the repo root) on sys.path;
+# on a cluster --py-files handles this instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

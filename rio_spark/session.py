@@ -26,14 +26,29 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Partition coalescing is BYTE-based; transcript/document stages are
+        # byte-light but CPU-heavy (string assembly, Python grammar kernels),
+        # so coalescing collapses them onto 1-2 reducers and kills scaling
+        # (measured 3x slowdown at 32 cores). Skew-join stays on. At real
+        # 100TB scale partitions are byte-heavy and coalescing wouldn't
+        # trigger anyway; re-enable per-job if a workload is shuffle-bound.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("RIO_SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only: the heap serves all executor threads.
+        # FIXED-size heap (Xms=Xmx): heap growth means host page-allocation
+        # churn (this sandbox is a microVM where page faults are costly) and
+        # produced 2-8x run-to-run variance at 32 cores; a pre-sized 16g heap
+        # is stable and fast. Undersized (8g) throttles wide runs via GC.
+        .config("spark.driver.memory", os.environ.get("RIO_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.io.tmpdir=/tmp -Xms"
+            + os.environ.get("RIO_SPARK_DRIVER_MEM", "16g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -49,20 +49,39 @@ _T0 = datetime(2024, 1, 1)
 ROLES = ["user", "assistant", "tool"]
 
 
-def conv_rows(i: int, corpus: list[ConformanceDoc]) -> tuple[list[tuple], dict]:
-    """All turn rows + metadata for conversation index ``i`` (pure function)."""
-    rng = random.Random(10_000_019 * i + 42)
+def conv_meta(
+    i: int, corpus: list[ConformanceDoc], conformance_every: int = 10
+) -> tuple[dict, ConformanceDoc | None]:
+    """Conversation-kind / embedded-doc metadata for conv index ``i`` — pure
+    arithmetic, no row generation (cheap enough for 10^5+ convs driver-side)."""
     conv_id = f"conv_{i:08d}"
     kind = "free"
     doc: ConformanceDoc | None = None
-    if i % 10 == 0:
+    if i % conformance_every == 0:
         positives = [d for d in corpus if d.kind != "negative_syntax"]
-        doc = positives[(i // 10) % len(positives)]
+        doc = positives[(i // conformance_every) % len(positives)]
         kind = "conformance"
     elif i % 17 == 3:
         negatives = [d for d in corpus if d.kind == "negative_syntax"]
         doc = negatives[(i // 17) % len(negatives)]
         kind = "corrupt"
+    meta = {
+        "conv_id": conv_id,
+        "kind": kind,
+        "doc_name": doc.name if doc else None,
+        "format": doc.format if doc else None,
+        "base_iri": doc.base_iri if doc else None,
+    }
+    return meta, doc
+
+
+def conv_rows(
+    i: int, corpus: list[ConformanceDoc], conformance_every: int = 10
+) -> tuple[list[tuple], dict]:
+    """All turn rows + metadata for conversation index ``i`` (pure function)."""
+    rng = random.Random(10_000_019 * i + 42)
+    meta, doc = conv_meta(i, corpus, conformance_every)
+    conv_id = meta["conv_id"]
 
     rows: list[tuple] = []
     if doc is not None:
@@ -97,14 +116,6 @@ def conv_rows(i: int, corpus: list[ConformanceDoc]) -> tuple[list[tuple], dict]:
                     _T0 + timedelta(minutes=i % 100_000, seconds=t),
                 )
             )
-    meta = {
-        "conv_id": conv_id,
-        "kind": kind,
-        "doc_name": doc.name if doc else None,
-        "format": doc.format if doc else None,
-        "base_iri": doc.base_iri if doc else None,
-        "n_turns": len(rows),
-    }
     return rows, meta
 
 
@@ -127,7 +138,12 @@ def synthetic_transcripts_pdf(
     )
 
 
-def synthetic_transcripts(spark, n_convs: int, corpus: list[ConformanceDoc] | None = None):
+def synthetic_transcripts(
+    spark,
+    n_convs: int,
+    corpus: list[ConformanceDoc] | None = None,
+    conformance_every: int = 10,
+):
     """Distributed generation over ``spark.range`` — scales with executors;
     each task generates only its conv-index slice (no driver materialization)."""
     corpus = corpus if corpus is not None else load_corpus()
@@ -136,7 +152,7 @@ def synthetic_transcripts(spark, n_convs: int, corpus: list[ConformanceDoc] | No
         for pdf in batches:
             rows: list[tuple] = []
             for i in pdf["id"]:
-                rows.extend(conv_rows(int(i), corpus)[0])
+                rows.extend(conv_rows(int(i), corpus, conformance_every)[0])
             yield pd.DataFrame(rows, columns=TRANSCRIPT_COLUMNS)
 
     return (
@@ -145,7 +161,14 @@ def synthetic_transcripts(spark, n_convs: int, corpus: list[ConformanceDoc] | No
     )
 
 
-def conformance_meta(n_convs: int, corpus: list[ConformanceDoc] | None = None) -> pd.DataFrame:
-    """Metadata (incl. expected kind/format/base) for convs 0..n — driver side."""
+def conformance_meta(
+    n_convs: int,
+    corpus: list[ConformanceDoc] | None = None,
+    conformance_every: int = 10,
+) -> pd.DataFrame:
+    """Metadata (expected kind/format/base) for convs 0..n — driver side,
+    row-generation-free (fast even for 10^5+ convs)."""
     corpus = corpus if corpus is not None else load_corpus()
-    return pd.DataFrame([conv_rows(i, corpus)[1] for i in range(n_convs)])
+    return pd.DataFrame(
+        [conv_meta(i, corpus, conformance_every)[0] for i in range(n_convs)]
+    )
