@@ -63,6 +63,75 @@ def format_turtle(triples: DataFrame) -> DataFrame:
     )
 
 
+def _xml_unescape_literal(col):
+    """Decode our canonical-literal escapes, then XML-escape. Pure column ops."""
+    c = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\\r"), F.lit("\r"))
+    c = F.replace(c, F.lit("\\t"), F.lit("\t"))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    c = F.replace(c, F.lit("\x00"), F.lit("\\"))
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    return c
+
+
+def format_rdfxml(triples: DataFrame) -> DataFrame:
+    """K5: rdf:Description blocks grouped by subject (pure column ops).
+
+    Each property element declares its own namespace inline
+    (``<n:local xmlns:n="ns">``), sidestepping document-level prefix
+    management — valid XML, one block column per subject. Wrap the collected
+    blocks in ``<rdf:RDF xmlns:rdf="...">…</rdf:RDF>`` to form a document
+    (see tests). Predicates whose IRI has no NCName-splittable local part
+    are not representable in RDF/XML (same restriction as the reference)."""
+    lit_re = r'^"(.*)"(?:@([a-z0-9-]+)|\^\^<(.*)>)?$'
+    pred_ns = F.regexp_extract("predicate", r"^<(.*[#/])([A-Za-z_][A-Za-z0-9_.-]*)>$", 1)
+    pred_local = F.regexp_extract("predicate", r"^<(.*[#/])([A-Za-z_][A-Za-z0-9_.-]*)>$", 2)
+    obj = F.col("object")
+    lit_value = _xml_unescape_literal(F.regexp_extract(obj, lit_re, 1))
+    lit_lang = F.regexp_extract(obj, lit_re, 2)
+    lit_dt = F.regexp_extract(obj, lit_re, 3)
+    open_tag = F.concat(F.lit("<n:"), pred_local, F.lit(' xmlns:n="'), pred_ns, F.lit('"'))
+    iri_attr = F.replace(obj.substr(F.lit(2), F.length(obj) - 2), F.lit("&"), F.lit("&amp;"))
+    prop = F.when(
+        obj.startswith("<"),
+        F.concat(open_tag, F.lit(' rdf:resource="'), iri_attr, F.lit('"/>')),
+    ).when(
+        obj.startswith("_:"),
+        F.concat(open_tag, F.lit(' rdf:nodeID="'), F.substring(obj, 3, 1 << 20), F.lit('"/>')),
+    ).otherwise(
+        F.concat(
+            open_tag,
+            F.when(lit_lang != "", F.concat(F.lit(' xml:lang="'), lit_lang, F.lit('"')))
+            .otherwise(F.lit("")),
+            F.when(lit_dt != "", F.concat(F.lit(' rdf:datatype="'), lit_dt, F.lit('"')))
+            .otherwise(F.lit("")),
+            F.lit(">"), lit_value, F.lit("</n:"), pred_local, F.lit(">"),
+        )
+    )
+    subj_attr = F.when(
+        F.col("subject").startswith("_:"),
+        F.concat(F.lit(' rdf:nodeID="'), F.substring("subject", 3, 1 << 20), F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit(' rdf:about="'),
+                 F.col("subject").substr(F.lit(2), F.length("subject") - 2), F.lit('"'))
+    )
+    return (
+        triples.select("subject", prop.alias("prop"), subj_attr.alias("sa"))
+        .groupBy("subject", "sa")
+        .agg(F.array_sort(F.collect_list("prop")).alias("props"))
+        .select(
+            F.concat(
+                F.lit("<rdf:Description"), F.col("sa"), F.lit(">\n  "),
+                F.array_join("props", "\n  "),
+                F.lit("\n</rdf:Description>"),
+            ).alias("block")
+        )
+    )
+
+
 def format_trig(quads: DataFrame) -> DataFrame:
     """Graph-level grouping: ``g { <turtle blocks> }``; default graph bare."""
     po = (

@@ -22,7 +22,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from rio_spark.kernels import parse_nquads, parse_ntriples, parse_trig, parse_turtle
+from rio_spark.kernels import (
+    parse_nquads,
+    parse_ntriples,
+    parse_rdfxml,
+    parse_trig,
+    parse_turtle,
+)
 from rio_spark.model import serialize_triples
 
 EXTRACT_SCHEMA = (
@@ -35,6 +41,8 @@ _PARSERS = {
     "nq": lambda text, base: parse_nquads(text),
     "ttl": parse_turtle,
     "trig": parse_trig,
+    "rdf": parse_rdfxml,
+    "xml": parse_rdfxml,
 }
 
 _SCOPE_SANITIZE = re.compile(r"[^A-Za-z0-9]")

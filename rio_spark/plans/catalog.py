@@ -144,6 +144,27 @@ FROM documents
 """
 
 
+def q_kg_extract_rdfxml(spark, sf_dir) -> DataFrame:
+    """RDF/XML path (S5): typed literal + property element through the SAX
+    state-machine kernel."""
+    docs = _documents(spark, sf_dir)
+    body = F.concat(
+        F.lit('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+              f' xmlns:p="{P_NS}">'),
+        F.lit(f'<rdf:Description rdf:about="{DOC_NS}'), F.col("doc_id").cast("string"),
+        F.lit('"><p:lang>'), F.col("lang"),
+        F.lit(f'</p:lang><p:nchars rdf:datatype="{XSD_INT}">'),
+        F.col("n_chars").cast("string"),
+        F.lit("</p:nchars></rdf:Description></rdf:RDF>"),
+    )
+    d = docs.select(F.col("doc_id").cast("string").alias("conv_id"), body.alias("text"))
+    ext = extract_triples(d, fmt="rdf")
+    return triples_of(ext).select("doc_id", "subject", "predicate", "object")
+
+
+ORACLE_KG_EXTRACT_RDFXML = ORACLE_KG_EXTRACT_TURTLE  # same expected triples
+
+
 def q_kg_predicate_counts(spark, sf_dir) -> DataFrame:
     t = q_kg_extract_nt(spark, sf_dir)
     return t.groupBy("predicate").agg(F.count("*").alias("n")).orderBy("predicate")
@@ -823,6 +844,7 @@ def q_multimodal_features(spark, sf_dir) -> DataFrame:
 QUERIES = {
     "kg_extract_nt": q_kg_extract_nt,
     "kg_extract_turtle": q_kg_extract_turtle,
+    "kg_extract_rdfxml": q_kg_extract_rdfxml,
     "kg_predicate_counts": q_kg_predicate_counts,
     "kg_error_recovery": q_kg_error_recovery,
     "kg_assembly": q_kg_assembly,
@@ -853,6 +875,7 @@ QUERIES = {
 ORACLES = {
     "kg_extract_nt": ORACLE_KG_EXTRACT_NT,
     "kg_extract_turtle": ORACLE_KG_EXTRACT_TURTLE,
+    "kg_extract_rdfxml": ORACLE_KG_EXTRACT_RDFXML,
     "kg_predicate_counts": ORACLE_KG_PREDICATE_COUNTS,
     "kg_error_recovery": ORACLE_KG_ERROR_RECOVERY,
     "kg_assembly": ORACLE_KG_ASSEMBLY,

@@ -121,6 +121,14 @@ def load_rio_corpus() -> list[ConformanceDoc]:
         ("blank_node_with_linebreak", "ttl", "blank_node_with_linebreak.nt"),
         ("language_normalization", "ttl", "language_normalization.nt"),
         ("keyword_vs_prefix", "ttl", "keyword_vs_prefix.nt"),
+        # RDF/XML evals. language_normalization.rdf is EXCLUDED: it uses the
+        # QName `foo:` with an empty local part, which is illegal per XML
+        # Namespaces (expat rejects it); the reference's XML reader is
+        # lenient there. The same behavior (langtag lowercasing) is covered
+        # by the .ttl variant above.
+        ("xml_entities", "rdf", "xml_entities.nt"),
+        ("xml_nested_entities", "rdf", "xml_nested_entities.nt"),
+        ("literal_value_space", "rdf", "literal_value_space.nt"),
     ]
     for stem, fmt, golden in evals:
         docs.append(

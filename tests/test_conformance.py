@@ -11,7 +11,13 @@ plus the aggregate P/R >= 0.95 gate from BASELINE.md.
 
 import pytest
 
-from rio_spark.kernels import parse_nquads, parse_ntriples, parse_trig, parse_turtle
+from rio_spark.kernels import (
+    parse_nquads,
+    parse_ntriples,
+    parse_rdfxml,
+    parse_trig,
+    parse_turtle,
+)
 from rio_spark.model import serialize_triples
 from rio_spark.testing.corpus import load_corpus
 from rio_spark.testing.isomorphism import are_isomorphic, precision_recall
@@ -22,6 +28,7 @@ PARSERS = {
     "nq": lambda body, base: parse_nquads(body),
     "ttl": parse_turtle,
     "trig": parse_trig,
+    "rdf": parse_rdfxml,
 }
 
 

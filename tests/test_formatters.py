@@ -67,7 +67,25 @@ def test_trig_roundtrip(spark, quads_df):
     assert are_isomorphic(serialize_triples(t), _triple_rows(include_graph=True))
 
 
+def test_rdfxml_roundtrip(spark, quads_df):
+    from rio_spark.formatters import format_rdfxml
+    from rio_spark.kernels import parse_rdfxml
+
+    df = quads_df.filter("graph IS NULL")
+    blocks = format_rdfxml(df).toPandas()["block"]
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        + "\n".join(blocks)
+        + "\n</rdf:RDF>"
+    )
+    t, errs = parse_rdfxml(doc)
+    assert not errs, (errs, doc)
+    assert are_isomorphic(serialize_triples(t), _triple_rows())
+
+
 def test_formatters_are_pure_column_ops(spark, quads_df):
-    for fmt in (format_ntriples, format_nquads, format_turtle, format_trig):
+    from rio_spark.formatters import format_rdfxml
+
+    for fmt in (format_ntriples, format_nquads, format_turtle, format_trig, format_rdfxml):
         plan = fmt(quads_df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "MapInPandas" not in plan
