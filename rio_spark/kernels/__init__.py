@@ -8,12 +8,17 @@ without a SparkSession.
 """
 
 from rio_spark.kernels.errors import ParseError
-from rio_spark.kernels.ntriples import parse_ntriples, parse_nquads
+from rio_spark.kernels.ntriples import (
+    parse_generalized_nquads,
+    parse_ntriples,
+    parse_nquads,
+)
 from rio_spark.kernels.rdfxml import parse_rdfxml
 from rio_spark.kernels.turtle import parse_turtle, parse_trig
 
 __all__ = [
     "ParseError",
+    "parse_generalized_nquads",
     "parse_ntriples",
     "parse_nquads",
     "parse_rdfxml",

@@ -190,3 +190,71 @@ def parse_ntriples(text: str, star: bool = True) -> tuple[list[tuple], list[dict
 def parse_nquads(text: str, star: bool = True) -> tuple[list[tuple], list[dict]]:
     """S2: N-Quads(-star) document -> ([(s, p, o, g)], [error rows])."""
     return _parse_doc(text, quads=True, star=star)
+
+
+# ---------------------------------------------------------------------------
+# Generalized N-Quads (S6): variables allowed, any term in any position
+# (behavioral reference: /root/reference/turtle/src/gnquads.rs and the
+# GeneralizedQuadsParser trait, api/src/generalized.rs:239-268). Variables
+# are encoded canonically as ``?name``.
+# ---------------------------------------------------------------------------
+
+from rio_spark.kernels.shared import is_pn_chars, is_pn_chars_u
+
+
+def _parse_generalized_term(s: str, i: int, line: int) -> tuple:
+    c = s[i]
+    if c == "?":
+        j = i + 1
+        n = len(s)
+        if j >= n or not (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())):
+            raise ParseError("InvalidVariable", "bad variable name", line, i)
+        j += 1
+        while j < n and is_pn_chars(s[j]):
+            j += 1
+        return "?" + s[i + 1 : j], j
+    if c == "<" and s.startswith("<<", i):
+        i += 2
+        i = _skip_ws(s, i)
+        a, i = _parse_generalized_term(s, i, line)
+        i = _skip_ws(s, i)
+        b, i = _parse_generalized_term(s, i, line)
+        i = _skip_ws(s, i)
+        cc, i = _parse_generalized_term(s, i, line)
+        i = _skip_ws(s, i)
+        if not s.startswith(">>", i):
+            raise ParseError("UnexpectedChar", "expected '>>'", line, i)
+        return QTriple(a, b, cc), i + 2
+    # literals / IRIs / bnodes: reuse the strict object parser (literals are
+    # legal in every position in generalized mode)
+    return _parse_object(s, i, line, star=True)
+
+
+def parse_generalized_nquads(text: str) -> tuple[list[tuple], list[dict]]:
+    """S6: generalized N-Quads — any of IRI / bnode / literal / variable /
+    quoted-triple in any of the four positions; per-line recovery."""
+    triples: list[tuple] = []
+    errors: list[dict] = []
+    for lineno, raw in enumerate(text.split("\n"), start=1):
+        s = raw[:-1] if raw.endswith("\r") else raw
+        if not s or s.lstrip(_WS)[:1] in ("", "#"):
+            continue
+        try:
+            i = _skip_ws(s, 0)
+            subj, i = _parse_generalized_term(s, i, lineno)
+            i = _skip_ws(s, i)
+            pred, i = _parse_generalized_term(s, i, lineno)
+            i = _skip_ws(s, i)
+            obj, i = _parse_generalized_term(s, i, lineno)
+            i = _skip_ws(s, i)
+            graph = None
+            if i < len(s) and s[i] != ".":
+                graph, i = _parse_generalized_term(s, i, lineno)
+                i = _skip_ws(s, i)
+            if i >= len(s) or s[i] != ".":
+                raise ParseError("UnexpectedChar", "expected '.'", lineno, i)
+            triples.append((subj, pred, obj, graph))
+        except ParseError as e:
+            e.line = lineno
+            errors.append(e.as_row())
+    return triples, errors

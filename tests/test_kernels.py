@@ -271,6 +271,30 @@ def test_turtle_prefix_env_exposed():
     assert p == {"ex": "http://e2/"}
 
 
+# --- S6: generalized N-Quads -----------------------------------------------------
+
+def test_generalized_nquads_variables_anywhere():
+    from rio_spark.kernels import parse_generalized_nquads
+
+    t, e = parse_generalized_nquads(
+        '?s <http://p> "lit" ?g .\n'
+        '"literal subject" ?p <http://o> .\n'
+        "<< ?a <http://b> \"c\" >> <http://meta> ?v .\n"
+    )
+    assert not e
+    rows = serialize_triples(t)
+    assert rows[0] == ("?s", "<http://p>", '"lit"', "?g")
+    assert rows[1][0] == '"literal subject"'
+    assert rows[2][0] == '<< ?a <http://b> "c" >>'
+
+
+def test_generalized_nquads_recovery():
+    from rio_spark.kernels import parse_generalized_nquads
+
+    t, e = parse_generalized_nquads("?x <http://p> ?y .\nnot a term .\n")
+    assert len(t) == 1 and len(e) == 1
+
+
 # --- S4: TriG --------------------------------------------------------------------
 
 def test_trig_blocks_and_default_graph():
