@@ -45,14 +45,14 @@ def scaling_mode() -> None:
     from rio_spark.session import get_spark
 
     results = {}
-    for cores in (4, 16):
+    for cores in (2, 8):
         spark = get_spark(app_name=f"rio_spark_scaling_{cores}", cores=cores,
                           shuffle_partitions=max(cores, 8))
-        r = _throughput_stage(spark, "0.1", cores, n_runs=6)
+        r = _throughput_stage(spark, "0.1", cores, n_convs=40000, n_runs=4)
         results[f"local[{cores}]"] = r
         spark.stop()
-    t4, t16 = results["local[4]"], results["local[16]"]
-    eff = round(t16["triples_per_sec"] / t4["triples_per_sec"] / 4, 3)
+    t_n, t_4n = results["local[2]"], results["local[8]"]
+    eff = round(t_4n["triples_per_sec"] / t_n["triples_per_sec"] / 4, 3)
     print(json.dumps({
         "metric": "scaling_efficiency_N_to_4N",
         "value": eff,

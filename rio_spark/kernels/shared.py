@@ -19,28 +19,33 @@ from rio_spark.kernels.errors import ParseError
 # W3C identifier alphabets (Turtle 1.1 §6.5 grammar productions 163s-166s)
 # --------------------------------------------------------------------------
 
-_PN_CHARS_BASE_RANGES = (
-    (0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x02FF),
-    (0x0370, 0x037D), (0x037F, 0x1FFF), (0x200C, 0x200D), (0x2070, 0x218F),
-    (0x2C00, 0x2FEF), (0x3001, 0xD7FF), (0xF900, 0xFDCF), (0xFDF0, 0xFFFD),
-    (0x10000, 0xEFFFF),
+# character classes as regex fragments (compiled predicates are ~10x faster
+# than per-char python range scans in the parser hot path)
+PN_CHARS_BASE_CLASS = (
+    "A-Za-zÀ-ÖØ-öø-˿Ͱ-ͽͿ-῿"
+    "‌-‍⁰-↏Ⰰ-⿯、-퟿豈-﷏"
+    "ﷰ-�\U00010000-\U000EFFFF"
 )
+PN_CHARS_U_CLASS = PN_CHARS_BASE_CLASS + "_"
+PN_CHARS_CLASS = PN_CHARS_U_CLASS + "0-9·̀-ͯ‿-⁀\\-"
+
+_PN_CHARS_BASE_RE = re.compile(f"[{PN_CHARS_BASE_CLASS}]")
+_PN_CHARS_U_RE = re.compile(f"[{PN_CHARS_U_CLASS}]")
+_PN_CHARS_RE = re.compile(f"[{PN_CHARS_CLASS}]")
+# maximal (PN_CHARS | '.')* run — callers back off trailing dots
+PN_CHARS_DOT_RUN_RE = re.compile(f"[{PN_CHARS_CLASS}.]*")
 
 
 def is_pn_chars_base(c: str) -> bool:
-    cp = ord(c)
-    return any(lo <= cp <= hi for lo, hi in _PN_CHARS_BASE_RANGES)
+    return _PN_CHARS_BASE_RE.match(c) is not None
 
 
 def is_pn_chars_u(c: str) -> bool:
-    return c == "_" or is_pn_chars_base(c)
+    return _PN_CHARS_U_RE.match(c) is not None
 
 
 def is_pn_chars(c: str) -> bool:
-    if is_pn_chars_u(c) or c == "-" or c.isdigit() and c.isascii():
-        return True
-    cp = ord(c)
-    return cp == 0xB7 or 0x0300 <= cp <= 0x036F or 0x203F <= cp <= 0x2040
+    return _PN_CHARS_RE.match(c) is not None
 
 
 # --------------------------------------------------------------------------

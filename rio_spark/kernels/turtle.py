@@ -20,6 +20,9 @@ import re
 
 from rio_spark.kernels.errors import MAX_STACK_SIZE, ParseError
 from rio_spark.kernels.shared import (
+    PN_CHARS_CLASS,
+    PN_CHARS_DOT_RUN_RE,
+    PN_CHARS_U_CLASS,
     is_pn_chars,
     is_pn_chars_base,
     is_pn_chars_u,
@@ -49,6 +52,33 @@ _DOUBLE_RE = re.compile(r"[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE]
 _DECIMAL_RE = re.compile(r"[+-]?\d*\.\d+")
 _INTEGER_RE = re.compile(r"[+-]?\d+")
 _PN_LOCAL_ESC = set("_~.-!$&'()*+,;=/?#@%")
+# escape-free PN_LOCAL run and its first-char constraint
+_PN_LOCAL_RUN_RE = re.compile(f"[{PN_CHARS_CLASS}:.]*")
+_PN_LOCAL_FIRST_RE = re.compile(f"[{PN_CHARS_U_CLASS}:0-9]")
+
+# ---------------------------------------------------------------------------
+# statement fast path: one regex for the dominant `S P O .` shape with
+# escape-free terms and no syntax sugar. Every term alternative munches
+# maximally, so any statement that actually continues (`;`, `,`, `{|`,
+# trailing-dot locals, escapes, collections, ...) simply fails the final
+# `\s*\.` and falls back to the full grammar — false NEGATIVES only.
+# ---------------------------------------------------------------------------
+from rio_spark.kernels.shared import PN_CHARS_BASE_CLASS
+
+_F_IRI = r"<[^<>\"{}|^`\\\x00-\x20]*>"
+_F_PNAME = (
+    f"(?:[{PN_CHARS_BASE_CLASS}][{PN_CHARS_CLASS}.]*)?:[{PN_CHARS_CLASS}:.]*"
+)  # dot/first-char rules validated on expand; violations fall back
+_F_BNODE = f"_:[{PN_CHARS_CLASS}.]*"
+_F_STRING = r'"[^"\\\n\r]*"(?:@[A-Za-z][A-Za-z0-9-]*)?'
+_F_NUM = r"[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+|\d*\.\d+|\d+)"
+_FAST_STMT_RE = re.compile(
+    rf"(?P<s>{_F_IRI}|{_F_BNODE}|{_F_PNAME})[ \t]+"
+    rf"(?P<p>a(?=[ \t])|{_F_IRI}|{_F_PNAME})[ \t]+"
+    rf"(?P<o>{_F_IRI}|{_F_BNODE}|{_F_STRING}|true|false|{_F_NUM}|{_F_PNAME})"
+    rf"[ \t]*\.(?=[ \t\r\n#]|$)"
+)
+_F_BNODE_FIRST_RE = re.compile(f"[{PN_CHARS_U_CLASS}0-9]")
 
 
 class _Parser:
@@ -161,13 +191,11 @@ class _Parser:
 
     def parse_pname_ns(self) -> str:
         """PNAME_NS := PN_PREFIX? ':' — returns prefix name without colon."""
-        s, n = self.s, self.n
+        s = self.s
         i = self.i
         start = i
-        if i < n and is_pn_chars_base(s[i]):
-            i += 1
-            while i < n and (is_pn_chars(s[i]) or s[i] == "."):
-                i += 1
+        if i < self.n and is_pn_chars_base(s[i]):
+            i = PN_CHARS_DOT_RUN_RE.match(s, i + 1).end()
             while s[i - 1] == ".":
                 i -= 1
         name = s[start:i]
@@ -184,35 +212,42 @@ class _Parser:
         #             ((PN_CHARS | '.' | ':' | PLX)* (PN_CHARS | ':' | PLX))?
         s, n = self.s, self.n
         i = self.i
+        # fast path: one regex munch for escape-free locals (the vast majority)
+        m = _PN_LOCAL_RUN_RE.match(s, i)
+        end = m.end()
+        if end > i and not (end < n and s[end] in "%\\"):
+            while s[end - 1] == ".":
+                end -= 1  # trailing dots end the statement, not the name
+            local_str = s[i:end]
+            if local_str and not _PN_LOCAL_FIRST_RE.match(local_str):
+                raise self.err("InvalidIri", f"bad local name start {local_str[0]!r}")
+            self.i = end
+            return "<" + ns + local_str + ">"
+        # slow path: locals containing %XX / backslash escapes
         local: list[str] = []
         pending_dots = 0
-
-        def take_plx() -> bool:
-            nonlocal i
-            c = s[i]
-            if c == "%":
-                h = s[i + 1 : i + 3]
-                if len(h) == 2 and all(x in "0123456789abcdefABCDEF" for x in h):
-                    local.append(s[i : i + 3])
-                    i += 3
-                    return True
-                raise self.err("InvalidEscape", "bad %XX in local name")
-            if c == "\\":
-                if i + 1 < n and s[i + 1] in _PN_LOCAL_ESC:
-                    local.append(s[i + 1])
-                    i += 2
-                    return True
-                raise self.err("InvalidEscape", "bad \\ escape in local name")
-            return False
-
         first = True
         while i < n:
             c = s[i]
-            if c in "%\\":
+            if c == "%":
+                h = s[i + 1 : i + 3]
+                if len(h) != 2 or not all(x in "0123456789abcdefABCDEF" for x in h):
+                    self.i = i
+                    raise self.err("InvalidEscape", "bad %XX in local name")
                 local.extend("." * pending_dots)
                 pending_dots = 0
-                self.i = i
-                take_plx()
+                local.append(s[i : i + 3])
+                i += 3
+                first = False
+                continue
+            if c == "\\":
+                if i + 1 >= n or s[i + 1] not in _PN_LOCAL_ESC:
+                    self.i = i
+                    raise self.err("InvalidEscape", "bad \\ escape in local name")
+                local.extend("." * pending_dots)
+                pending_dots = 0
+                local.append(s[i + 1])
+                i += 2
                 first = False
                 continue
             if c == "." and not first:
@@ -531,7 +566,74 @@ class _Parser:
             return True
         return False
 
+    # -- statement fast path ---------------------------------------------------
+
+    def _fast_term(self, tok: str, pos: str):
+        """Expand a fast-path token; None = fall back to the full grammar."""
+        c0 = tok[0]
+        if c0 == "<":
+            try:
+                return "<" + resolve_or_validate(tok[1:-1], self.base) + ">"
+            except ParseError:
+                return None
+        if c0 == "_":
+            label = tok[2:]
+            if not label or label.endswith(".") or not _F_BNODE_FIRST_RE.match(label):
+                return None
+            return BNode("u", label)
+        if c0 == '"':
+            qi = tok.rfind('"')
+            value = tok[1:qi]
+            rest = tok[qi + 1 :]
+            if rest:
+                try:
+                    return encode_literal(value, normalize_langtag(rest[1:]))
+                except ParseError:
+                    return None
+            return encode_literal(value)
+        if pos == "p" and tok == "a":
+            return RDF_TYPE
+        if pos == "o":
+            if tok == "true" or tok == "false":
+                return encode_literal(tok, None, XSD_BOOLEAN)
+            if c0.isdigit() or c0 in "+-.":
+                for rx, dt in ((_DOUBLE_RE, XSD_DOUBLE), (_DECIMAL_RE, XSD_DECIMAL),
+                               (_INTEGER_RE, XSD_INTEGER)):
+                    if rx.fullmatch(tok):
+                        return encode_literal(tok, None, dt)
+                return None
+        if ":" not in tok:
+            return None
+        prefix, local = tok.split(":", 1)
+        if prefix.endswith(".") or local.endswith("."):
+            return None  # maximal munch ate a statement/extra dot
+        if local and not _PN_LOCAL_FIRST_RE.match(local):
+            return None
+        ns = self.prefixes.get(prefix)
+        if ns is None:
+            return None  # slow path raises the positioned UnknownPrefix
+        return "<" + ns + local + ">"
+
+    def try_fast_statement(self) -> bool:
+        m = _FAST_STMT_RE.match(self.s, self.i)
+        if m is None:
+            return False
+        s = self._fast_term(m.group("s"), "s")
+        if s is None or isinstance(s, str) and s.startswith('"'):
+            return False  # literal subjects are invalid — full grammar rejects
+        p = self._fast_term(m.group("p"), "p")
+        if p is None or not (isinstance(p, str) and p.startswith("<")):
+            return False
+        o = self._fast_term(m.group("o"), "o")
+        if o is None:
+            return False
+        self.emit(s, p, o)
+        self.i = m.end()
+        return True
+
     def parse_turtle_statement(self) -> None:
+        if self.try_fast_statement():
+            return
         if self.parse_directive_opt():
             return
         self.parse_triples()
@@ -551,6 +653,8 @@ class _Parser:
             if self.peek() == "}":
                 self.i += 1
                 break
+            if self.try_fast_statement():
+                continue
             self.parse_triples()
             self.skip_ws()
             if self.peek() == ".":
@@ -560,6 +664,8 @@ class _Parser:
         self.graph = prev
 
     def parse_trig_block(self) -> None:
+        if self.try_fast_statement():
+            return
         if self.parse_directive_opt():
             return
         c = self.peek()
