@@ -568,7 +568,7 @@ LIMIT 10
 
 def q_sim_pairs(spark, sf_dir) -> DataFrame:
     emb = _embeddings(spark, sf_dir).filter("vec_id < 60")
-    return cosine_pairs_above(emb, threshold=0.55)
+    return cosine_pairs_above(emb, threshold=0.3)
 
 
 ORACLE_SIM_PAIRS = """
@@ -579,7 +579,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.55
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
 """
 
 
