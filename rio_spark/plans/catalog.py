@@ -830,6 +830,77 @@ GROUP BY 1, 2
 """
 
 
+def q_events_json_props(spark, sf_dir) -> DataFrame:
+    """Semi-structured column: extract props.k (JSON) and aggregate."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_distinct_users(spark, sf_dir) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE_EVENTS_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_tpch_rollup(spark, sf_dir) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+ORACLE_TPCH_ROLLUP = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_tpch_pivot(spark, sf_dir) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+    )
+
+
+ORACLE_TPCH_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing smoke (stubbed codec; no SQL oracle — the driver
     records the weaker rows-only check)."""
@@ -869,6 +940,10 @@ QUERIES = {
     "window_topk": q_window_topk,
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
+    "events_json_props": q_events_json_props,
+    "events_distinct_users": q_events_distinct_users,
+    "tpch_rollup": q_tpch_rollup,
+    "tpch_pivot": q_tpch_pivot,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -900,5 +975,9 @@ ORACLES = {
     "window_topk": ORACLE_WINDOW_TOPK,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_tumbling": ORACLE_EVENTS_TUMBLING,
+    "events_json_props": ORACLE_EVENTS_JSON_PROPS,
+    "events_distinct_users": ORACLE_EVENTS_DISTINCT_USERS,
+    "tpch_rollup": ORACLE_TPCH_ROLLUP,
+    "tpch_pivot": ORACLE_TPCH_PIVOT,
     # multimodal_features intentionally has no oracle (binary feature stub)
 }
