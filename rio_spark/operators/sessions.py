@@ -10,12 +10,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def ntz_epoch(col):
+    """Wall-clock (TIMESTAMP_NTZ) -> epoch seconds, independent of the
+    session timezone (a plain NTZ->TIMESTAMP->LONG cast would shift by the
+    session offset and break oracle comparisons on non-UTC sessions)."""
+    return (
+        F.unix_date(col.cast("date")) * 86400
+        + F.hour(col) * 3600
+        + F.minute(col) * 60
+        + F.second(col)
+    ).cast("long")
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """-> events + session_id (user-scoped counter) via lag/gap/cumsum."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet may carry TIMESTAMP_NTZ; go via TIMESTAMP (session tz = UTC)
-    # because ANSI mode forbids a direct NTZ -> BIGINT cast
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    epoch = ntz_epoch(F.col("ts"))
     gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return events.withColumn(

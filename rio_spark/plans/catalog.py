@@ -27,7 +27,7 @@ from rio_spark.operators.dedup import (
     simhash_bits,
 )
 from rio_spark.operators.extract import errors_of, extract_triples, triples_of
-from rio_spark.operators.sessions import session_stats
+from rio_spark.operators.sessions import ntz_epoch, session_stats
 from rio_spark.operators.similarity import cosine_pairs_above, lsh_bucket_ids
 from rio_spark.operators.text import (
     LANG_PROFILES,
@@ -664,7 +664,7 @@ def q_tpch_q3(spark, sf_dir) -> DataFrame:
         )
         .select(
             "l_orderkey",
-            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_epoch"),
+            ntz_epoch(F.col("o_orderdate")).alias("o_orderdate_epoch"),
             "o_orderpriority",
             "revenue",
         )
@@ -779,8 +779,8 @@ def q_events_sessionize(spark, sf_dir) -> DataFrame:
         "user_id",
         "session_id",
         "n_events",
-        F.col("t_start").cast("timestamp").cast("long").alias("t_start_epoch"),
-        F.col("t_end").cast("timestamp").cast("long").alias("t_end_epoch"),
+        ntz_epoch(F.col("t_start")).alias("t_start_epoch"),
+        ntz_epoch(F.col("t_end")).alias("t_end_epoch"),
         "total_value",
     )
 
@@ -815,7 +815,7 @@ def q_events_tumbling(spark, sf_dir) -> DataFrame:
 
     tc = tumbling_counts(ev, minutes=60)
     return tc.select(
-        F.col("w_start").cast("timestamp").cast("long").alias("w_start_epoch"),
+        ntz_epoch(F.col("w_start")).alias("w_start_epoch"),
         "event_type",
         "n",
         "total_value",
