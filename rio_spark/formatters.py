@@ -63,6 +63,38 @@ def format_turtle(triples: DataFrame) -> DataFrame:
     )
 
 
+def qualify_iris(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
+    """Compress IRI terms to prefixed names where a declared namespace matches
+    and the remainder is a clean local name (serd's `qualify` behavior; cf.
+    serd-tests qualify-in/out). Pure column ops: longest namespace first,
+    local part gated by a PN_LOCAL-safe regex; non-matching IRIs stay
+    bracketed. Combine with :func:`format_turtle` + prefix header lines."""
+    # longest namespaces first so e.g. <http://e/ns#> wins over <http://e/>
+    ordered = sorted(prefixes.items(), key=lambda kv: -len(kv[1]))
+    local_ok = r"^(?:[A-Za-z_][A-Za-z0-9_.\-]*)?$"
+
+    def compress(col):
+        out = None
+        for name, ns in ordered:
+            local = col.substr(F.lit(len(ns) + 2), F.length(col))
+            local = local.substr(F.lit(1), F.length(local) - 1)  # drop trailing '>'
+            cond = col.startswith("<" + ns) & col.endswith(">") & local.rlike(local_ok)
+            val = F.concat(F.lit(name + ":"), local)
+            out = F.when(cond, val) if out is None else out.when(cond, val)
+        return out.otherwise(col) if out is not None else col
+
+    return triples.select(
+        *[
+            compress(F.col(c)).alias(c) if c in ("subject", "predicate", "object") else F.col(c)
+            for c in triples.columns
+        ]
+    )
+
+
+def turtle_prefix_header(prefixes: dict[str, str]) -> str:
+    return "\n".join(f"@prefix {k}: <{v}> ." for k, v in sorted(prefixes.items()))
+
+
 def _xml_unescape_literal(col):
     """Decode our canonical-literal escapes, then XML-escape. Pure column ops."""
     c = F.replace(col, F.lit("\\\\"), F.lit("\x00"))

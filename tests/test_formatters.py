@@ -83,6 +83,35 @@ def test_rdfxml_roundtrip(spark, quads_df):
     assert are_isomorphic(serialize_triples(t), _triple_rows())
 
 
+def test_qualify_and_prefixed_turtle_roundtrip(spark):
+    """serd qualify behavior: IRIs compressed to pnames under declared
+    prefixes, then grouped-Turtle output re-parses to the same graph."""
+    from rio_spark.formatters import qualify_iris, turtle_prefix_header
+
+    rows = [
+        ("d", "<http://example.org/s>", "<http://example.org/p>", "<http://example.org/o>", None),
+        ("d", "<http://example.org/s>", "<http://other.org/q>", '"lit"', None),
+        ("d", "<http://example.org/ns#x>", "<http://example.org/ns#y>", "<http://example.org/bad/path>", None),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "subject", "predicate", "object", "graph"])
+    )
+    prefixes = {"eg": "http://example.org/", "ns": "http://example.org/ns#"}
+    q = qualify_iris(df, prefixes)
+    got = {r["subject"] for r in q.collect()}
+    assert "eg:s" in got and "ns:x" in got
+    objs = {r["object"] for r in q.collect()}
+    assert "<http://example.org/bad/path>" in objs  # '/' in local -> stays an IRI
+    doc = turtle_prefix_header(prefixes) + "\n" + "\n".join(
+        format_turtle(q).toPandas()["block"]
+    )
+    t, errs = parse_turtle(doc)
+    assert not errs
+    assert are_isomorphic(
+        serialize_triples(t), [(s, p, o) for _, s, p, o, g in rows]
+    )
+
+
 def test_formatters_are_pure_column_ops(spark, quads_df):
     from rio_spark.formatters import format_rdfxml
 
