@@ -71,7 +71,9 @@ def qualify_iris(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
     bracketed. Combine with :func:`format_turtle` + prefix header lines."""
     # longest namespaces first so e.g. <http://e/ns#> wins over <http://e/>
     ordered = sorted(prefixes.items(), key=lambda kv: -len(kv[1]))
-    local_ok = r"^(?:[A-Za-z_][A-Za-z0-9_.\-]*)?$"
+    # A trailing '.' in the local part would be re-lexed as the statement
+    # terminator on reparse (Turtle dot-backoff), so such IRIs stay bracketed.
+    local_ok = r"^(?:[A-Za-z_][A-Za-z0-9_.\-]*[A-Za-z0-9_\-]|[A-Za-z_])?$"
 
     def compress(col):
         out = None
@@ -138,7 +140,14 @@ def format_rdfxml(triples: DataFrame) -> DataFrame:
             open_tag,
             F.when(lit_lang != "", F.concat(F.lit(' xml:lang="'), lit_lang, F.lit('"')))
             .otherwise(F.lit("")),
-            F.when(lit_dt != "", F.concat(F.lit(' rdf:datatype="'), lit_dt, F.lit('"')))
+            F.when(
+                lit_dt != "",
+                F.concat(
+                    F.lit(' rdf:datatype="'),
+                    F.replace(lit_dt, F.lit("&"), F.lit("&amp;")),
+                    F.lit('"'),
+                ),
+            )
             .otherwise(F.lit("")),
             F.lit(">"), lit_value, F.lit("</n:"), pred_local, F.lit(">"),
         )
@@ -147,8 +156,15 @@ def format_rdfxml(triples: DataFrame) -> DataFrame:
         F.col("subject").startswith("_:"),
         F.concat(F.lit(' rdf:nodeID="'), F.substring("subject", 3, 1 << 20), F.lit('"')),
     ).otherwise(
-        F.concat(F.lit(' rdf:about="'),
-                 F.col("subject").substr(F.lit(2), F.length("subject") - 2), F.lit('"'))
+        F.concat(
+            F.lit(' rdf:about="'),
+            F.replace(
+                F.col("subject").substr(F.lit(2), F.length("subject") - 2),
+                F.lit("&"),
+                F.lit("&amp;"),
+            ),
+            F.lit('"'),
+        )
     )
     return (
         triples.select("subject", prop.alias("prop"), subj_attr.alias("sa"))

@@ -166,12 +166,22 @@ def _parse_doc(text: str, quads: bool, star: bool):
                 and (obj_iri is None or _SCHEME_PROBE.match(obj_iri))
                 and (dt is None or _SCHEME_PROBE.match(dt))
             ):
-                if obj_iri is not None:
-                    o: Term = "<" + obj_iri + ">"
-                else:
-                    o = encode_literal(lit, lang.lower() if lang else None, dt)
-                triples.append(("<" + sub + ">", "<" + pred + ">", o))
-                continue
+                # BCP-47-validate the language tag here too so acceptance does
+                # not depend on which path a line happens to take (the slow
+                # path and the reference's LanguageTag::parse both reject bad
+                # tags); on failure fall through to the slow path, which
+                # raises the positioned error row.
+                try:
+                    norm_lang = normalize_langtag(lang, 0, 0) if lang else None
+                except ParseError:
+                    norm_lang = False
+                if norm_lang is not False:
+                    if obj_iri is not None:
+                        o: Term = "<" + obj_iri + ">"
+                    else:
+                        o = encode_literal(lit, norm_lang, dt)
+                    triples.append(("<" + sub + ">", "<" + pred + ">", o))
+                    continue
         try:
             t = _parse_line(s, lineno, quads, star)
             if t is not None:

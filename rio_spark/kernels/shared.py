@@ -74,7 +74,10 @@ def decode_uchar(s: str, i: int, line: int) -> tuple[str, int]:
 # --------------------------------------------------------------------------
 
 # chars forbidden inside IRIREF by the grammar: controls, space, <>"{}|^`\
-_IRI_FORBIDDEN = set('<>"{}|^`') | {chr(c) for c in range(0x21)}
+# ('\\' is listed so a UCHAR-decoded backslash is rejected too, matching the
+# reference's full Iri::parse; raw '\\' never reaches the membership test
+# because scan_iriref handles it as an escape introducer first)
+_IRI_FORBIDDEN = set('<>"{}|^`\\') | {chr(c) for c in range(0x21)}
 
 
 def scan_iriref(s: str, i: int, line: int) -> tuple[str, int]:

@@ -150,16 +150,22 @@ class _Parser:
             raise self.err("UnexpectedChar", f"expected {ch!r}, got {self.peek()!r}")
         self.i += 1
 
-    def _keyword_ahead(self, kw: str) -> bool:
+    def _keyword_ahead(self, kw: str, dot_ends: bool = False) -> bool:
         """Case-insensitive keyword probe that must NOT be a prefixed name:
         the char after the keyword may not continue a PNAME (keyword-vs-prefix
-        disambiguation, cf. turtle.rs:278-301 / rio-tests keyword_vs_prefix)."""
+        disambiguation, cf. turtle.rs:278-301 / rio-tests keyword_vs_prefix).
+
+        ``dot_ends=True`` (the boolean-literal probes) matches the reference's
+        lookahead (turtle.rs:872-879), which only excludes PN_CHARS and ':':
+        ``:s :p true.`` is the boolean followed by the statement terminator,
+        not a prefixed name. Directive probes keep '.' as disqualifying so
+        ``prefix.x:`` stays a PNAME."""
         j = self.i + len(kw)
         if self.s[self.i : j].lower() != kw:
             return False
         if j < self.n:
             c = self.s[j]
-            if c == ":" or is_pn_chars(c) or c == ".":
+            if c == ":" or is_pn_chars(c) or (c == "." and not dot_ends):
                 return False
         return True
 
@@ -427,10 +433,10 @@ class _Parser:
             return self.parse_rdf_literal()
         if c.isdigit() or c in "+-.":
             return self.parse_numeric_literal()
-        if self._keyword_ahead("true"):
+        if self._keyword_ahead("true", dot_ends=True):
             self.i += 4
             return encode_literal("true", None, XSD_BOOLEAN)
-        if self._keyword_ahead("false"):
+        if self._keyword_ahead("false", dot_ends=True):
             self.i += 5
             return encode_literal("false", None, XSD_BOOLEAN)
         return self.parse_iri()
