@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from rio_spark.kernels import (
+    parse_generalized_nquads,
     parse_nquads,
     parse_ntriples,
     parse_rdfxml,
@@ -43,6 +44,7 @@ _PARSERS = {
     "trig": parse_trig,
     "rdf": parse_rdfxml,
     "xml": parse_rdfxml,
+    "gnq": lambda text, base: parse_generalized_nquads(text),
 }
 
 _SCOPE_SANITIZE = re.compile(r"[^A-Za-z0-9]")

@@ -39,7 +39,11 @@ except Exception:
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fake assets: payload bytes are a seeded function of the
-    asset id (sha256 counter stream), metadata plausible per kind."""
+    asset id — an md5 COUNTER stream (md5('asset{i}:{j}') for j = 0, 1, ...),
+    chosen over a chained hash so the byte stream is reproducible in plain
+    SQL (md5 is bit-identical in Spark and DuckDB), which is what gives
+    ``extract_features`` a real cross-engine oracle. Metadata plausible per
+    kind."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -49,10 +53,10 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
                 kind = ["image", "audio", "video"][i % 3]
                 size = 256 + (i * 37) % 512
                 chunks = []
-                h = hashlib.sha256(f"asset{i}".encode())
-                while sum(len(c) for c in chunks) < size:
-                    h = hashlib.sha256(h.digest())
-                    chunks.append(h.digest())
+                j = 0
+                while 16 * len(chunks) < size:
+                    chunks.append(hashlib.md5(f"asset{i}:{j}".encode()).digest())
+                    j += 1
                 data = b"".join(chunks)[:size]
                 meta = {
                     "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],

@@ -77,54 +77,106 @@ def cosine_pairs_above(
     )
 
 
-def lsh_bucket_ids(
-    embeddings: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
+def collect_planes(
+    embeddings: DataFrame, n_planes: int, id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Random-hyperplane LSH with deterministic, data-derived planes: the
-    ``n_planes`` lowest-id embeddings act as hyperplane normals. -> (vec_id,
-    bucket string of sign bits). Collisions preserve cosine locality."""
-    planes = [
+) -> list[list[float]]:
+    """The ``n_planes`` lowest-id embeddings, collected ONCE, act as
+    deterministic data-derived hyperplane normals (no RNG in any plan).
+    Bounded by the constant ``n_planes`` — never a large collect."""
+    return [
         [float(x) for x in r[1]]
         for r in embeddings.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
         .limit(n_planes)
         .collect()
     ]
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-bit bucket key as a pure column expression."""
     v = F.col(vec_col).cast("array<double>")
     bits = [
         F.when(_dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in planes
     ]
+    return F.concat(*bits)
+
+
+def _query_bits(query_vec: list[float], planes: list[list[float]]) -> str:
+    return "".join(
+        "1" if sum(a * b for a, b in zip(p, query_vec)) >= 0 else "0"
+        for p in planes
+    )
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH -> (vec_id, bucket string of sign bits).
+    Collisions preserve cosine locality. Pass precollected ``planes`` to
+    avoid the (bounded) driver collect."""
+    if planes is None:
+        planes = collect_planes(embeddings, n_planes, id_col, vec_col)
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), F.concat(*bits).alias("bucket")
+        F.col(id_col).alias("vec_id"), _bucket_expr(vec_col, planes).alias("bucket")
+    )
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame, threshold: float, n_planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", round_to: int = 4,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs, LSH-bucketed: exact cosine only WITHIN a bucket.
+
+    The scale path for embedding near-dup detection: the self-join key is the
+    bucket string, so the plan is a shuffled equi-join that never materializes
+    the quadratic cross-bucket pair space (vs :func:`cosine_pairs_above`,
+    which is the small-N exactness baseline). Recall is tunable: fewer planes
+    -> bigger buckets -> higher recall and cost. Hot buckets (near-constant
+    embedding regions) are split at runtime by AQE skew-join."""
+    if planes is None:
+        planes = collect_planes(embeddings, n_planes, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    av, bv = F.col("a.v"), F.col("b.v")
+    cos = _dot(av, bv) / (_norm(av) * _norm(bv))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 
 def ann_topk_lsh(
     embeddings: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    fallback_to_brute: bool = False, planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k: restrict the exact scan to the query's LSH bucket
-    (falls back to brute force if the bucket is smaller than k)."""
-    buckets = lsh_bucket_ids(embeddings, n_planes, id_col, vec_col)
-    planes = [
-        [float(x) for x in r[1]]
-        for r in embeddings.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_planes)
-        .collect()
-    ]
-    qbits = "".join(
-        "1" if sum(a * b for a, b in zip(q_plane, query_vec)) >= 0 else "0"
-        for q_plane in planes
-    )
-    in_bucket = buckets.filter(F.col("bucket") == qbits).select(
-        F.col("vec_id").alias("cand_id")
-    )
-    cand = embeddings.join(
-        in_bucket, embeddings[id_col] == F.col("cand_id"), "left_semi"
-    )
-    if cand.limit(k).count() < k:
+    """Approximate top-k: restrict the exact scan to the query's LSH bucket.
+
+    ONE Spark job: planes are collected once (bounded constant), the query's
+    bucket bits are computed driver-side, and candidates are a plain FILTER on
+    the bucket expression (no join, no extra probe jobs). If the bucket holds
+    fewer than k vectors the result has fewer than k rows; opt into the
+    (expensive, full-scan) brute-force fallback explicitly with
+    ``fallback_to_brute=True`` — it runs a count job first and is flagged here
+    because at scale it dwarfs everything else."""
+    if planes is None:
+        planes = collect_planes(embeddings, n_planes, id_col, vec_col)
+    qbits = _query_bits(query_vec, planes)
+    cand = embeddings.filter(_bucket_expr(vec_col, planes) == qbits)
+    if fallback_to_brute and cand.count() < k:  # explicit opt-in, extra job
         cand = embeddings
     return topk_cosine(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -262,23 +262,55 @@ LINK_DICT = [
 ]
 
 
+def _link_dictionary(spark) -> DataFrame:
+    return spark.createDataFrame(
+        LINK_DICT, "mention_key string, candidate_iri string, prior double"
+    )
+
+
 def q_kg_entity_linking(spark, sf_dir) -> DataFrame:
-    """Broadcast-dictionary linking with prior-based resolution, checkable:
-    mention = token-boundary containment on normalized text."""
-    from rio_spark.operators.dedup import normalize_text
+    """The REAL J1 path: mention n-gram detection (pure column ops) ->
+    broadcast EQUI-join against the dictionary -> prior-based resolution.
+    The plan contains a BroadcastHashJoin on mention_key — never a
+    contains-theta-join (that anti-pattern is O(docs x dict))."""
+    from rio_spark.operators.linking import (
+        detect_mentions,
+        link_broadcast,
+        resolve_candidates,
+    )
 
     docs = _documents(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.concat(F.lit(" "), normalize_text(F.col("text")), F.lit(" ")).alias("padded"),
+        F.col("doc_id").cast("string").alias("conv_id"), "text"
     )
-    d = spark.createDataFrame(LINK_DICT, "mention_key string, candidate_iri string, prior double")
-    w = W.partitionBy("mention_key").orderBy(F.col("prior").desc(), F.col("candidate_iri").asc())
-    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "prior")
-    hits = docs.join(
-        F.broadcast(best),
-        F.col("padded").contains(F.concat(F.lit(" "), F.col("mention_key"), F.lit(" "))),
+    mentions = detect_mentions(docs)
+    resolved = resolve_candidates(link_broadcast(mentions, _link_dictionary(spark)))
+    return resolved.select(
+        "doc_id", "mention_key", F.col("candidate_iri").alias("entity_iri")
+    ).distinct()
+
+
+def q_kg_link_blocked(spark, sf_dir) -> DataFrame:
+    """J2: the large-dictionary path — blocked sort-merge join on the
+    mention's first token with explicit salting (dictionary replicated S
+    ways), full-key equality after the block join. Same linking semantics as
+    J1, so the oracle is shared; the PLAN is the thing under test (no
+    broadcast, skew-safe)."""
+    from rio_spark.operators.linking import (
+        detect_mentions,
+        link_blocked,
+        resolve_candidates,
     )
-    return hits.select("doc_id", "mention_key", F.col("candidate_iri").alias("entity_iri"))
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text"
+    )
+    d = _link_dictionary(spark).withColumn(
+        "candidate_block", F.element_at(F.split("mention_key", " "), 1)
+    )
+    resolved = resolve_candidates(link_blocked(detect_mentions(docs), d))
+    return resolved.select(
+        "doc_id", "mention_key", F.col("candidate_iri").alias("entity_iri")
+    ).distinct()
 
 
 def _link_dict_values_sql() -> str:
@@ -286,6 +318,11 @@ def _link_dict_values_sql() -> str:
     return f"(VALUES {rows}) d(mention_key, candidate_iri, prior)"
 
 
+# Detection-equivalence note: detect_mentions emits every 1..3-token n-gram of
+# the normalized text (lowercase, non-[a-z0-9' ] runs -> one space, split on
+# whitespace); a dictionary key (no leading/trailing space) equals such an
+# n-gram iff ' key ' occurs in the space-collapsed padded text, so the oracle
+# can use positional containment instead of regenerating the n-gram stream.
 ORACLE_KG_ENTITY_LINKING = f"""
 WITH best AS (
   SELECT mention_key, candidate_iri FROM (
@@ -296,7 +333,9 @@ WITH best AS (
   ) WHERE rn = 1
 ), docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS padded
+         ' ' || trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9'' ]+', ' ', 'g'),
+                  ' +', ' ', 'g')) || ' ' AS padded
   FROM documents
 )
 SELECT doc_id, mention_key, candidate_iri AS entity_iri
@@ -848,8 +887,10 @@ def q_events_json_props(spark, sf_dir) -> DataFrame:
 
 
 ORACLE_EVENTS_JSON_PROPS = """
+-- sum(BIGINT) is HUGEINT in DuckDB; cast back so the typed value-hash matches
+-- Spark's sum(long) -> long (CORRECTNESS_r01 root cause).
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
@@ -901,15 +942,457 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-2 additions: remaining parsers (S2/S4/S6), formatter roundtrips
+# (K2-K5), J2 blocked linking, LSH pair paths, streaming replays, CC skew
+# stress, multimodal with a real oracle.
+# ---------------------------------------------------------------------------
+
+G_NS = "http://ex.org/g/"
+
+
+def q_kg_extract_nquads(spark, sf_dir) -> DataFrame:
+    """S2 N-Quads: named-graph line + default-graph typed-literal line."""
+    docs = _documents(spark, sf_dir)
+    doc_id = F.col("doc_id").cast("string")
+    doc_iri = F.concat(F.lit(f"<{DOC_NS}"), doc_id, F.lit(">"))
+    g_iri = F.concat(F.lit(f"<{G_NS}"), doc_id, F.lit(">"))
+    l1 = F.concat(doc_iri, F.lit(f' <{P_NS}source> "'), F.col("source"),
+                  F.lit('" '), g_iri, F.lit(" ."))
+    l2 = F.concat(doc_iri, F.lit(f' <{P_NS}nchars> "'),
+                  F.col("n_chars").cast("string"), F.lit(f'"^^<{XSD_INT}> .'))
+    d = docs.select(doc_id.alias("conv_id"), F.concat_ws("\n", l1, l2).alias("text"))
+    ext = extract_triples(d, fmt="nq")
+    return triples_of(ext).select("doc_id", "subject", "predicate", "object", "graph")
+
+
+ORACLE_KG_EXTRACT_NQUADS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '<{DOC_NS}' || doc_id || '>' AS subject,
+       '<{P_NS}source>' AS predicate,
+       '"' || source || '"' AS object,
+       '<{G_NS}' || doc_id || '>' AS graph
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), '<{DOC_NS}' || doc_id || '>', '<{P_NS}nchars>',
+       '"' || n_chars || '"^^<{XSD_INT}>', CAST(NULL AS VARCHAR)
+FROM documents
+"""
+
+
+def _trig_docs(spark, sf_dir) -> DataFrame:
+    """TriG documents: one named-graph block (with ';' sugar + bare numeric
+    literal) plus a default-graph statement per document."""
+    docs = _documents(spark, sf_dir)
+    doc_id = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit(f"@prefix d: <{DOC_NS}> .\n@prefix p: <{P_NS}> .\n"),
+        F.lit(f"<{G_NS}"), doc_id, F.lit("> { d:"), doc_id,
+        F.lit(' p:lang "'), F.col("lang"),
+        F.lit('" ; p:nchars '), F.col("n_chars").cast("string"),
+        F.lit(" . }\nd:"), doc_id,
+        F.lit(' p:source "'), F.col("source"), F.lit('" .'),
+    )
+    return docs.select(doc_id.alias("conv_id"), body.alias("text"))
+
+
+def q_kg_extract_trig(spark, sf_dir) -> DataFrame:
+    """S4 TriG: graph scoping + Turtle sugar through the TriG kernel
+    (reference turtle/src/turtle.rs:165-244 semantics)."""
+    ext = extract_triples(_trig_docs(spark, sf_dir), fmt="trig")
+    return triples_of(ext).select("doc_id", "subject", "predicate", "object", "graph")
+
+
+ORACLE_KG_EXTRACT_TRIG = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '<{DOC_NS}' || doc_id || '>' AS subject,
+       '<{P_NS}lang>' AS predicate,
+       '"' || lang || '"' AS object,
+       '<{G_NS}' || doc_id || '>' AS graph
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), '<{DOC_NS}' || doc_id || '>', '<{P_NS}nchars>',
+       '"' || n_chars || '"^^<{XSD_INT}>', '<{G_NS}' || doc_id || '>'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), '<{DOC_NS}' || doc_id || '>', '<{P_NS}source>',
+       '"' || source || '"', CAST(NULL AS VARCHAR)
+FROM documents
+"""
+
+
+def q_kg_extract_gnq(spark, sf_dir) -> DataFrame:
+    """S6 generalized N-Quads: variables and literal subjects in any position
+    (reference api/src/generalized.rs:239-268 data model)."""
+    docs = _documents(spark, sf_dir)
+    doc_id = F.col("doc_id").cast("string")
+    l1 = F.concat(F.lit("?s"), doc_id, F.lit(f' <{P_NS}rel> "v'), doc_id,
+                  F.lit(f'" <{G_NS}'), doc_id, F.lit("> ."))
+    l2 = F.concat(F.lit('"lit'), doc_id, F.lit(f'" <{P_NS}note> ?o'), doc_id,
+                  F.lit(" ."))
+    d = docs.select(doc_id.alias("conv_id"), F.concat_ws("\n", l1, l2).alias("text"))
+    ext = extract_triples(d, fmt="gnq")
+    return triples_of(ext).select("doc_id", "subject", "predicate", "object", "graph")
+
+
+ORACLE_KG_EXTRACT_GNQ = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '?s' || doc_id AS subject,
+       '<{P_NS}rel>' AS predicate,
+       '"v' || doc_id || '"' AS object,
+       '<{G_NS}' || doc_id || '>' AS graph
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), '"lit' || doc_id || '"', '<{P_NS}note>',
+       '?o' || doc_id, CAST(NULL AS VARCHAR)
+FROM documents
+"""
+
+
+def _reparse(blocks: DataFrame, fmt: str, col: str = "block") -> DataFrame:
+    """Formatter-roundtrip helper: each serialized block becomes its own
+    document (deterministic md5 doc id) and goes back through the matching
+    parser kernel — the roundtrip law parse(format(G)) == G is what the K2-K5
+    oracles check (reference turtle/tests/roundtrip.rs)."""
+    d = blocks.select(F.md5(F.col(col)).alias("conv_id"), F.col(col).alias("text"))
+    return triples_of(extract_triples(d, fmt=fmt))
+
+
+def q_kg_format_nquads(spark, sf_dir) -> DataFrame:
+    """K2 roundtrip: TriG-extracted quads -> N-Quads lines -> reparse."""
+    from rio_spark.formatters import format_nquads
+
+    quads = triples_of(extract_triples(_trig_docs(spark, sf_dir), fmt="trig"))
+    lines = format_nquads(quads)
+    return _reparse(lines, "nq", col="line").select(
+        "subject", "predicate", "object", "graph"
+    )
+
+
+def _strip_doc_id(sql: str) -> str:
+    """Drop the doc_id output column from an extraction oracle (roundtrips
+    lose document identity by design)."""
+    return sql.replace("CAST(doc_id AS VARCHAR) AS doc_id,", "").replace(
+        "CAST(doc_id AS VARCHAR),", ""
+    )
+
+
+ORACLE_KG_FORMAT_NQUADS = _strip_doc_id(ORACLE_KG_EXTRACT_TRIG)
+
+
+TTL_PREFIXES = {"d": DOC_NS, "p": P_NS}
+
+
+def q_kg_format_turtle(spark, sf_dir) -> DataFrame:
+    """K3 roundtrip: triples -> qualify (prefix compression) -> grouped Turtle
+    blocks -> prefix header + block reparsed by the Turtle kernel."""
+    from rio_spark.formatters import format_turtle, qualify_iris, turtle_prefix_header
+
+    t = q_kg_extract_turtle(spark, sf_dir)
+    blocks = format_turtle(qualify_iris(t, TTL_PREFIXES))
+    header = turtle_prefix_header(TTL_PREFIXES)
+    docs = blocks.select(
+        F.concat(F.lit(header + "\n"), F.col("block")).alias("block")
+    )
+    return _reparse(docs, "ttl").select("subject", "predicate", "object")
+
+
+ORACLE_KG_FORMAT_TURTLE = _strip_doc_id(ORACLE_KG_EXTRACT_TURTLE)
+
+
+def q_kg_format_trig(spark, sf_dir) -> DataFrame:
+    """K4 roundtrip: quads -> graph-grouped TriG blocks -> reparse."""
+    from rio_spark.formatters import format_trig
+
+    quads = triples_of(extract_triples(_trig_docs(spark, sf_dir), fmt="trig"))
+    return _reparse(format_trig(quads), "trig").select(
+        "subject", "predicate", "object", "graph"
+    )
+
+
+ORACLE_KG_FORMAT_TRIG = ORACLE_KG_FORMAT_NQUADS
+
+
+def q_kg_format_rdfxml(spark, sf_dir) -> DataFrame:
+    """K5 roundtrip: triples -> rdf:Description blocks -> envelope-wrapped
+    document reparsed by the RDF/XML kernel."""
+    from rio_spark.formatters import format_rdfxml
+
+    t = q_kg_extract_turtle(spark, sf_dir)
+    docs = format_rdfxml(t).select(
+        F.concat(
+            F.lit('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'),
+            F.col("block"),
+            F.lit("</rdf:RDF>"),
+        ).alias("block")
+    )
+    return _reparse(docs, "rdf").select("subject", "predicate", "object")
+
+
+ORACLE_KG_FORMAT_RDFXML = ORACLE_KG_FORMAT_TURTLE
+
+
+def q_kg_cc_skewed(spark, sf_dir) -> DataFrame:
+    """CC skew stress: one hub with every distinct lineitem orderkey as a
+    spoke. The star-step aggregations are groupBy-MIN (map-side combinable),
+    so the hub key never materializes its neighborhood in one task — the
+    failure mode this query pins down."""
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("n"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.lit("a0").alias("dst"),
+    )
+    return connected_components(edges).select("node", "component")
+
+
+ORACLE_KG_CC_SKEWED = """
+SELECT 'n' || l_orderkey AS node, 'a0' AS component
+FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+UNION ALL
+SELECT 'a0', 'a0'
+"""
+
+
+def q_dedup_lsh_pairs(spark, sf_dir) -> DataFrame:
+    """MinHash-LSH banding candidates (k=4 minhashes, 2 bands) over documents
+    plus injected exact duplicates (every 10th doc), so the band join provably
+    fires. The join key is (band_id, band_sig) — the 100 TB shape: candidate
+    fan-out bounded by bucket size, never all-pairs."""
+    from rio_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    dups = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.concat(F.lit("dup"), F.col("doc_id").cast("string")).alias("doc_id"), "text")
+    )
+    return minhash_lsh_pairs(docs.unionByName(dups), k=4, bands=2)
+
+
+ORACLE_DEDUP_LSH_PAIRS = f"""
+WITH docs0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'dup' || doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM docs0
+),
+s AS (SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM t),
+m AS (SELECT doc_id,
+  list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
+  list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+  list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+  list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+FROM s),
+b AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_sig FROM m
+  UNION ALL
+  SELECT doc_id, 1, mh2 || '|' || mh3 FROM m
+)
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+FROM b a JOIN b b2
+  ON a.band_id = b2.band_id AND a.band_sig = b2.band_sig AND a.doc_id < b2.doc_id
+"""
+
+
+_PLANES_SQL = """
+  SELECT list(embedding::DOUBLE[] ORDER BY vec_id) AS planes
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+"""
+
+_BUCKET4_SQL = """
+    (CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.planes[1]) >= 0 THEN '1' ELSE '0' END)
+    || (CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.planes[2]) >= 0 THEN '1' ELSE '0' END)
+    || (CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.planes[3]) >= 0 THEN '1' ELSE '0' END)
+    || (CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.planes[4]) >= 0 THEN '1' ELSE '0' END)
+"""
+
+
+def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
+    """The oracle-checked near-duplicate PAIR path at scale: LSH bucket ->
+    in-bucket exact cosine -> threshold. The plan's self-join key is the
+    bucket string (shuffled equi-join); the cross-bucket pair space is never
+    materialized — this is what replaces ``sim_pairs`` (the guarded
+    brute-force baseline) at 100 TB."""
+    from rio_spark.operators.similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(_embeddings(spark, sf_dir), threshold=0.3, n_planes=4)
+
+
+ORACLE_SIM_PAIRS_LSH = f"""
+WITH p AS ({_PLANES_SQL}),
+e2 AS (
+  SELECT vec_id, e.embedding::DOUBLE[] AS v, {_BUCKET4_SQL} AS bucket
+  FROM embeddings e, p
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+         AS cosine
+FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+"""
+
+
+def q_sim_ann_topk(spark, sf_dir) -> DataFrame:
+    """ANN top-k: one plane collect, query bucket computed driver-side,
+    candidates = plain FILTER on the bucket expression (single Spark job, no
+    probe/fallback jobs)."""
+    from rio_spark.operators.similarity import (
+        _bucket_expr,
+        _query_bits,
+        collect_planes,
+        cosine_to_query,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    planes = collect_planes(emb, 4)
+    cand = emb.filter(_bucket_expr("embedding", planes) == _query_bits(qv, planes))
+    return (
+        cosine_to_query(cand, qv)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+ORACLE_SIM_ANN_TOPK = f"""
+WITH p AS ({_PLANES_SQL}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT
+    (CASE WHEN list_dot_product(q.qv, p.planes[1]) >= 0 THEN '1' ELSE '0' END)
+    || (CASE WHEN list_dot_product(q.qv, p.planes[2]) >= 0 THEN '1' ELSE '0' END)
+    || (CASE WHEN list_dot_product(q.qv, p.planes[3]) >= 0 THEN '1' ELSE '0' END)
+    || (CASE WHEN list_dot_product(q.qv, p.planes[4]) >= 0 THEN '1' ELSE '0' END) AS qbits
+  FROM q, p
+),
+c AS (
+  SELECT vec_id, e.embedding::DOUBLE[] AS v, {_BUCKET4_SQL} AS bucket
+  FROM embeddings e, p
+)
+SELECT vec_id,
+       round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4)
+         AS cosine
+FROM c, q, qb
+WHERE c.bucket = qb.qbits
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+from itertools import count as _it_count
+
+_STREAM_SEQ = _it_count()
+
+
+def _drain_stream(out: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DF to completion against currently-available files
+    (availableNow) into a uniquely-named memory sink; return the sink table."""
+    name = f"rio_stream_sink_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
+def q_streaming_dedup(spark, sf_dir) -> DataFrame:
+    """Batch-deterministic replay of the stateful streaming dedup
+    (applyInPandasWithState): documents stream in with texts collapsed onto 37
+    variants, first-seen-wins dedup keeps exactly one row per distinct hash.
+    WHICH doc survives depends on arrival order, so the checked output is the
+    (deterministic) set of surviving content hashes."""
+    from rio_spark.streaming.stateful import streaming_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the file source needs a DIRECTORY basePath; glob-filter to one table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = stream.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("streamdoc "), (F.col("doc_id") % 37).cast("string")).alias("text"),
+    )
+    return _drain_stream(streaming_dedup(docs), "append").select("h").distinct()
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT DISTINCT md5('streamdoc ' || (doc_id % 37)) AS h FROM documents
+"""
+
+
+def q_streaming_tumbling(spark, sf_dir) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation replayed over the
+    events table; the final (complete-mode) state must equal the batch
+    group-by — same oracle as ``events_tumbling``."""
+    from rio_spark.streaming.windows import read_event_stream, windowed_counts_stream
+
+    ev = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = windowed_counts_stream(ev, minutes=60)
+    return _drain_stream(agg, "complete").select(
+        ntz_epoch(F.col("w_start")).alias("w_start_epoch"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+ORACLE_STREAMING_TUMBLING = ORACLE_EVENTS_TUMBLING
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
-    """Multimodal plumbing smoke (stubbed codec; no SQL oracle — the driver
-    records the weaker rows-only check)."""
+    """Multimodal plumbing: binary payloads + typed metadata through a real
+    mapInPandas Arrow kernel (codec layer stubbed — no image libs in this
+    container). The payload is an md5 counter stream, so the byte-histogram
+    feature has a REAL cross-engine oracle (DuckDB reproduces the bytes as
+    hex and counts high nibbles)."""
     from rio_spark.operators.multimodal import extract_features, synthetic_assets
 
     feats = extract_features(synthetic_assets(spark, n=64))
     return feats.select(
-        "asset_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+        "asset_id",
+        "kind",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 16), 6).alias("f15"),
     )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+WITH a AS (
+  SELECT CAST(t.i AS BIGINT) AS asset_id,
+         CASE CAST(t.i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(256 + (t.i * 37) % 512 AS INT) AS size
+  FROM range(64) t(i)
+),
+hx AS (
+  SELECT a.asset_id, a.kind, a.size,
+         substr(string_agg(md5('asset' || a.asset_id || ':' || j.j), '' ORDER BY j.j),
+                1, a.size * 2) AS hx
+  FROM a JOIN range(48) j(j) ON j.j * 16 < a.size
+  GROUP BY a.asset_id, a.kind, a.size
+)
+SELECT asset_id, kind,
+  round(len(list_filter(generate_series(1, size), k -> substr(hx, 2*k - 1, 1) = '0'))
+        * 1.0 / size, 6) AS f0,
+  round(len(list_filter(generate_series(1, size), k -> substr(hx, 2*k - 1, 1) = 'f'))
+        * 1.0 / size, 6) AS f15
+FROM hx
+"""
 
 
 QUERIES = {
@@ -920,9 +1403,19 @@ QUERIES = {
     "kg_error_recovery": q_kg_error_recovery,
     "kg_assembly": q_kg_assembly,
     "kg_connected_components": q_kg_connected_components,
+    "kg_cc_skewed": q_kg_cc_skewed,
     "kg_entity_linking": q_kg_entity_linking,
+    "kg_link_blocked": q_kg_link_blocked,
+    "kg_extract_nquads": q_kg_extract_nquads,
+    "kg_extract_trig": q_kg_extract_trig,
+    "kg_extract_gnq": q_kg_extract_gnq,
     "kg_format_ntriples": q_kg_format_ntriples,
+    "kg_format_nquads": q_kg_format_nquads,
+    "kg_format_turtle": q_kg_format_turtle,
+    "kg_format_trig": q_kg_format_trig,
+    "kg_format_rdfxml": q_kg_format_rdfxml,
     "dedup_exact": q_dedup_exact,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
@@ -932,6 +1425,8 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "sim_topk": q_sim_topk,
     "sim_pairs": q_sim_pairs,
+    "sim_pairs_lsh": q_sim_pairs_lsh,
+    "sim_ann_topk": q_sim_ann_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -944,6 +1439,8 @@ QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "tpch_rollup": q_tpch_rollup,
     "tpch_pivot": q_tpch_pivot,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_tumbling": q_streaming_tumbling,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -955,9 +1452,19 @@ ORACLES = {
     "kg_error_recovery": ORACLE_KG_ERROR_RECOVERY,
     "kg_assembly": ORACLE_KG_ASSEMBLY,
     "kg_connected_components": ORACLE_KG_CONNECTED_COMPONENTS,
+    "kg_cc_skewed": ORACLE_KG_CC_SKEWED,
     "kg_entity_linking": ORACLE_KG_ENTITY_LINKING,
+    "kg_link_blocked": ORACLE_KG_ENTITY_LINKING,
+    "kg_extract_nquads": ORACLE_KG_EXTRACT_NQUADS,
+    "kg_extract_trig": ORACLE_KG_EXTRACT_TRIG,
+    "kg_extract_gnq": ORACLE_KG_EXTRACT_GNQ,
     "kg_format_ntriples": ORACLE_KG_FORMAT_NTRIPLES,
+    "kg_format_nquads": ORACLE_KG_FORMAT_NQUADS,
+    "kg_format_turtle": ORACLE_KG_FORMAT_TURTLE,
+    "kg_format_trig": ORACLE_KG_FORMAT_TRIG,
+    "kg_format_rdfxml": ORACLE_KG_FORMAT_RDFXML,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_lsh_pairs": ORACLE_DEDUP_LSH_PAIRS,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": _oracle_simhash(16),
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
@@ -967,6 +1474,8 @@ ORACLES = {
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_pairs": ORACLE_SIM_PAIRS,
+    "sim_pairs_lsh": ORACLE_SIM_PAIRS_LSH,
+    "sim_ann_topk": ORACLE_SIM_ANN_TOPK,
     "sim_lsh_buckets": ORACLE_SIM_LSH_BUCKETS,
     "tpch_q1": ORACLE_TPCH_Q1,
     "tpch_q3": ORACLE_TPCH_Q3,
@@ -979,5 +1488,7 @@ ORACLES = {
     "events_distinct_users": ORACLE_EVENTS_DISTINCT_USERS,
     "tpch_rollup": ORACLE_TPCH_ROLLUP,
     "tpch_pivot": ORACLE_TPCH_PIVOT,
-    # multimodal_features intentionally has no oracle (binary feature stub)
+    "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "streaming_tumbling": ORACLE_STREAMING_TUMBLING,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

@@ -17,12 +17,14 @@ EVENT_SCHEMA = (
 )
 
 
-def read_event_stream(spark, path: str) -> DataFrame:
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(path)
-    )
+def read_event_stream(spark, path: str, glob: str | None = None) -> DataFrame:
+    """File-source event stream. ``path`` must be a directory (Spark's file
+    source requires a basePath); pass ``glob`` to select one table's file(s)
+    inside a directory of many (e.g. ``events.parquet`` in an sf dir)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 4)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
 
 
 def windowed_counts_stream(events: DataFrame, minutes: int = 60,

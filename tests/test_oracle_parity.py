@@ -57,7 +57,8 @@ def test_query_matches_oracle(spark, duck, name):
 def test_all_queries_have_callables():
     for name in ORACLES:
         assert name in QUERIES
-    assert "multimodal_features" in QUERIES  # rows-only (no oracle) op
+    # round 2: every query has an oracle (multimodal included)
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):
