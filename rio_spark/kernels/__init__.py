@@ -14,11 +14,12 @@ from rio_spark.kernels.ntriples import (
     parse_nquads,
 )
 from rio_spark.kernels.rdfxml import parse_rdfxml
-from rio_spark.kernels.turtle import parse_turtle, parse_trig
+from rio_spark.kernels.turtle import parse_gtrig, parse_turtle, parse_trig
 
 __all__ = [
     "ParseError",
     "parse_generalized_nquads",
+    "parse_gtrig",
     "parse_ntriples",
     "parse_nquads",
     "parse_rdfxml",

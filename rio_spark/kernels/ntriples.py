@@ -214,30 +214,60 @@ from rio_spark.kernels.shared import is_pn_chars, is_pn_chars_u
 
 def _parse_generalized_term(s: str, i: int, line: int) -> tuple:
     c = s[i]
-    if c == "?":
+    if c in "?$":
+        # variable name chars per the reference's parse_variable
+        # (gnquads.rs:187-222): PN_CHARS_U | digit first, then
+        # PN_CHARS_U | digit | U+00B7 (note: '-' does NOT continue a name)
         j = i + 1
         n = len(s)
         if j >= n or not (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())):
             raise ParseError("InvalidVariable", "bad variable name", line, i)
+        start = j
         j += 1
-        while j < n and is_pn_chars(s[j]):
+        while j < n and (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())
+                         or s[j] == "·"):
             j += 1
-        return "?" + s[i + 1 : j], j
-    if c == "<" and s.startswith("<<", i):
-        i += 2
-        i = _skip_ws(s, i)
-        a, i = _parse_generalized_term(s, i, line)
-        i = _skip_ws(s, i)
-        b, i = _parse_generalized_term(s, i, line)
-        i = _skip_ws(s, i)
-        cc, i = _parse_generalized_term(s, i, line)
-        i = _skip_ws(s, i)
-        if not s.startswith(">>", i):
-            raise ParseError("UnexpectedChar", "expected '>>'", line, i)
-        return QTriple(a, b, cc), i + 2
-    # literals / IRIs / bnodes: reuse the strict object parser (literals are
-    # legal in every position in generalized mode)
-    return _parse_object(s, i, line, star=True)
+        return "?" + s[start:j], j
+    if c == "<":
+        if s.startswith("<<", i):
+            i += 2
+            i = _skip_ws(s, i)
+            a, i = _parse_generalized_term(s, i, line)
+            i = _skip_ws(s, i)
+            b, i = _parse_generalized_term(s, i, line)
+            i = _skip_ws(s, i)
+            cc, i = _parse_generalized_term(s, i, line)
+            i = _skip_ws(s, i)
+            if not s.startswith(">>", i):
+                raise ParseError("UnexpectedChar", "expected '>>'", line, i)
+            return QTriple(a, b, cc), i + 2
+        # generalized IRIs are NOT absolutized/validated — relative IRIs stay
+        # as written (reference parse_generalized_iriref, gtrig.rs:659-679)
+        iri, i = scan_iriref(s, i, line)
+        return "<" + iri + ">", i
+    if c == "_":
+        label, i = scan_blank_node_label(s, i, line)
+        return BNode("u", label), i
+    # literals: reuse the strict object parser's literal branch (but with a
+    # generalized, non-validating datatype IRI)
+    if c == '"':
+        value, i = scan_string(s, i, '"', line)
+        lang = dt = None
+        if i < len(s) and s[i] == "@":
+            j = i + 1
+            n = len(s)
+            start = j
+            while j < n and (s[j].isalnum() and s[j].isascii() or s[j] == "-"):
+                j += 1
+            lang = normalize_langtag(s[start:j], line, start)
+            i = j
+        elif s.startswith("^^", i):
+            i += 2
+            if i >= len(s) or s[i] != "<":
+                raise ParseError("UnexpectedChar", "expected datatype IRI", line, i)
+            dt, i = scan_iriref(s, i, line)
+        return encode_literal(value, lang, dt), i
+    raise ParseError("UnexpectedChar", f"expected term, got {c!r}", line, i)
 
 
 def parse_generalized_nquads(text: str) -> tuple[list[tuple], list[dict]]:

@@ -83,9 +83,10 @@ _F_BNODE_FIRST_RE = re.compile(f"[{PN_CHARS_U_CLASS}0-9]")
 
 class _Parser:
     __slots__ = ("s", "i", "n", "prefixes", "base", "bnode_counter", "out",
-                 "graph", "quads", "star", "depth")
+                 "graph", "quads", "star", "depth", "generalized")
 
-    def __init__(self, text: str, base_iri: str | None, quads: bool, star: bool):
+    def __init__(self, text: str, base_iri: str | None, quads: bool, star: bool,
+                 generalized: bool = False):
         if text.startswith("\ufeff"):
             text = text[1:]
         self.s = text
@@ -99,6 +100,15 @@ class _Parser:
         self.quads = quads
         self.star = star
         self.depth = 0
+        self.generalized = generalized
+
+    def _iri_of(self, iri: str) -> str:
+        """Resolve an IRIREF against the base. Generalized mode (S7) keeps
+        RELATIVE IRIs as-is when no base is set (gtrig.rs
+        parse_generalized_iriref: resolution only happens with a base)."""
+        if self.generalized and self.base is None:
+            return "<" + iri + ">"
+        return "<" + resolve_or_validate(iri, self.base) + ">"
 
     # -- plumbing ------------------------------------------------------------
 
@@ -178,7 +188,7 @@ class _Parser:
         if self.peek() != "<":
             raise self.err("UnexpectedChar", "expected IRI in prefix directive")
         iri, self.i = scan_iriref(self.s, self.i, 0)
-        self.prefixes[name] = resolve_or_validate(iri, self.base)
+        self.prefixes[name] = self._iri_of(iri)[1:-1]
         if not sparql_style:
             self.skip_ws()
             self.expect(".")
@@ -276,7 +286,7 @@ class _Parser:
     def parse_iri(self) -> str:
         if self.peek() == "<":
             iri, self.i = scan_iriref(self.s, self.i, 0)
-            return "<" + resolve_or_validate(iri, self.base) + ">"
+            return self._iri_of(iri)
         return self.parse_prefixed_name()
 
     # -- literals (G15-G18) ----------------------------------------------------
@@ -360,11 +370,19 @@ class _Parser:
         self.enter()
         self.i += 2
         self.skip_ws()
-        subj = self.parse_qt_subject()
-        self.skip_ws()
-        pred = self.parse_verb()
-        self.skip_ws()
-        obj = self.parse_object(allow_sugar=False)
+        if self.generalized:
+            # any term in any position, no 'a' keyword (gtrig.rs:586-599)
+            subj = self.parse_generalized_term()
+            self.skip_ws()
+            pred = self.parse_generalized_term()
+            self.skip_ws()
+            obj = self.parse_generalized_term()
+        else:
+            subj = self.parse_qt_subject()
+            self.skip_ws()
+            pred = self.parse_verb()
+            self.skip_ws()
+            obj = self.parse_object(allow_sugar=False)
         self.skip_ws()
         if not self.s.startswith(">>", self.i):
             raise self.err("UnexpectedChar", "expected '>>'")
@@ -390,15 +408,21 @@ class _Parser:
             raise self.err("UnexpectedChar", "property list not allowed in quoted triple")
         return self.parse_iri()
 
-    def parse_verb(self) -> str:
+    def parse_verb(self) -> Term:
         if self.peek() == "a":
             j = self.i + 1
             if j >= self.n or not (is_pn_chars(self.s[j]) or self.s[j] in ":."):
                 self.i = j
                 return RDF_TYPE
+        if self.generalized:
+            # any node — including a bnode property list ("composite
+            # predicate", gtrig.rs parse_generalized_verb -> node)
+            return self.parse_generalized_node()
         return self.parse_iri()
 
     def parse_subject(self) -> Term:
+        if self.generalized:
+            return self.parse_generalized_node()
         c = self.peek()
         if c == "(":
             return self.parse_collection()
@@ -409,7 +433,76 @@ class _Parser:
             return self.parse_quoted_triple()
         return self.parse_iri()
 
+    # -- generalized terms (S7, gtrig.rs:548-657) -------------------------------
+
+    def parse_variable(self) -> str:
+        """``?name`` / ``$name`` -> canonical ``?name``. Name chars follow the
+        reference's parse_variable (gnquads.rs:187-222): PN_CHARS_U | digit
+        first, then PN_CHARS_U | digit | U+00B7 (no '-')."""
+        s, n = self.s, self.n
+        i = self.i + 1
+        if i >= n or not (is_pn_chars_u(s[i]) or (s[i].isdigit() and s[i].isascii())):
+            raise self.err("InvalidVariable", "bad variable name")
+        j = i + 1
+        while j < n and (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())
+                         or s[j] == "·"):
+            j += 1
+        self.i = j
+        return "?" + s[i:j]
+
+    def parse_generalized_term(self) -> Term:
+        """Atom in generalized mode — IRI (relative OK) / bnode / ANON /
+        literal / variable / quoted triple; NO property-list or collection
+        sugar (those are node-level, cf. parse_generalized_node)."""
+        c = self.peek()
+        if not c:
+            raise self.err("UnexpectedEof", "expected term")
+        if c == "<":
+            if self.s.startswith("<<", self.i):
+                return self.parse_quoted_triple()
+            iri, self.i = scan_iriref(self.s, self.i, 0)
+            return self._iri_of(iri)
+        if c == "_":
+            label, self.i = scan_blank_node_label(self.s, self.i, 0)
+            return BNode("u", label)
+        if c == "[":
+            j = self.i + 1
+            while j < self.n and self.s[j] in " \t\r\n":
+                j += 1
+            if j < self.n and self.s[j] == "]":
+                self.i = j + 1
+                return self.fresh_bnode()
+            raise self.err("UnexpectedChar", "property list not allowed here")
+        if c in "\"'":
+            return self.parse_rdf_literal()
+        if c.isdigit() or c in "+-.":
+            return self.parse_numeric_literal()
+        if c in "?$":
+            return self.parse_variable()
+        if self._keyword_ahead("true", dot_ends=True):
+            self.i += 4
+            return encode_literal("true", None, XSD_BOOLEAN)
+        if self._keyword_ahead("false", dot_ends=True):
+            self.i += 5
+            return encode_literal("false", None, XSD_BOOLEAN)
+        return self.parse_prefixed_name()
+
+    def parse_generalized_node(self) -> Term:
+        """Node in generalized mode: property list / collection / term."""
+        c = self.peek()
+        if c == "[":
+            j = self.i + 1
+            while j < self.n and self.s[j] in " \t\r\n":
+                j += 1
+            if not (j < self.n and self.s[j] == "]"):
+                return self.parse_bnode_property_list()
+        if c == "(":
+            return self.parse_collection()
+        return self.parse_generalized_term()
+
     def parse_object(self, allow_sugar: bool = True) -> Term:
+        if self.generalized:
+            return self.parse_generalized_node() if allow_sugar else self.parse_generalized_term()
         c = self.peek()
         if not c:
             raise self.err("UnexpectedEof", "expected object")
@@ -417,7 +510,7 @@ class _Parser:
             if self.s.startswith("<<", self.i):
                 return self.parse_quoted_triple()
             iri, self.i = scan_iriref(self.s, self.i, 0)
-            return "<" + resolve_or_validate(iri, self.base) + ">"
+            return self._iri_of(iri)
         if c == "_":
             label, self.i = scan_blank_node_label(self.s, self.i, 0)
             return BNode("u", label)
@@ -579,7 +672,7 @@ class _Parser:
         c0 = tok[0]
         if c0 == "<":
             try:
-                return "<" + resolve_or_validate(tok[1:-1], self.base) + ">"
+                return self._iri_of(tok[1:-1])
             except ParseError:
                 return None
         if c0 == "_":
@@ -721,6 +814,51 @@ class _Parser:
         self.skip_ws()
         self.expect(".")
 
+    def parse_gtrig_block(self) -> None:
+        """S7 generalized TriG block: any term (literal, variable, quoted
+        triple, ...) can label a graph; the label-vs-subject decision is made
+        after parsing one generalized node by peeking for '{'
+        (gtrig.rs parse_generalized_triples_or_graph)."""
+        if self.try_fast_statement():
+            return
+        if self.parse_directive_opt():
+            return
+        c = self.peek()
+        if c == "{":
+            self.parse_wrapped_graph(None)
+            return
+        if self._keyword_ahead("graph"):
+            # the reference commits to the keyword only when followed by
+            # whitespace or '<' (gtrig.rs:134-139)
+            j = self.i + 5
+            if j >= self.n or self.s[j] in " \t\r\n<" or self.s[j] == "#":
+                self.i = j
+                self.skip_ws()
+                label = self.parse_generalized_term()
+                self.skip_ws()
+                self.parse_wrapped_graph(label)
+                return
+        if c == "(" or (c == "[" and not self._anon_ahead()):
+            # triples2: bpl/collection subject, never a graph label
+            self.parse_triples()
+            self.skip_ws()
+            self.expect(".")
+            return
+        node = self.parse_generalized_node()
+        self.skip_ws()
+        if self.peek() == "{":
+            self.parse_wrapped_graph(node)
+            return
+        self.parse_predicate_object_list(node)
+        self.skip_ws()
+        self.expect(".")
+
+    def _anon_ahead(self) -> bool:
+        j = self.i + 1
+        while j < self.n and self.s[j] in " \t\r\n":
+            j += 1
+        return j < self.n and self.s[j] == "]"
+
     def parse_graph_label(self, label_only: bool = False) -> Term:
         c = self.peek()
         if c == "_":
@@ -750,7 +888,9 @@ class _Parser:
                 self.skip_ws()
                 if self.at_end():
                     break
-                if self.quads:
+                if self.generalized:
+                    self.parse_gtrig_block()
+                elif self.quads:
                     self.parse_trig_block()
                 else:
                     self.parse_turtle_statement()
@@ -778,6 +918,17 @@ def parse_trig(
 ) -> tuple[list[tuple], list[dict]]:
     """S4: TriG(-star) document -> ([(s, p, o, g)], [error rows])."""
     t, e, _ = _Parser(text, base_iri, quads=True, star=star).run()
+    return t, e
+
+
+def parse_gtrig(
+    text: str, base_iri: str | None = None
+) -> tuple[list[tuple], list[dict]]:
+    """S7: generalized TriG(-star) — variables (?x/$x), literals and quoted
+    triples in ANY position including predicates and graph labels, relative
+    IRIs kept when no base (reference turtle/src/gtrig.rs:48-91; the
+    non-default `generalized` cargo feature)."""
+    t, e, _ = _Parser(text, base_iri, quads=True, star=True, generalized=True).run()
     return t, e
 
 

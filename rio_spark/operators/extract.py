@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from rio_spark.kernels import (
     parse_generalized_nquads,
+    parse_gtrig,
     parse_nquads,
     parse_ntriples,
     parse_rdfxml,
@@ -45,6 +46,7 @@ _PARSERS = {
     "rdf": parse_rdfxml,
     "xml": parse_rdfxml,
     "gnq": lambda text, base: parse_generalized_nquads(text),
+    "gtrig": parse_gtrig,
 }
 
 _SCOPE_SANITIZE = re.compile(r"[^A-Za-z0-9]")

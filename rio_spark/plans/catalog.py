@@ -1049,6 +1049,37 @@ FROM documents
 """
 
 
+def q_kg_extract_gtrig(spark, sf_dir) -> DataFrame:
+    """S7 generalized TriG: a variable subject in the default graph and a
+    variable-labelled graph block (reference turtle/src/gtrig.rs:48-91,
+    the non-default `generalized` feature)."""
+    docs = _documents(spark, sf_dir)
+    doc_id = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit(f"@prefix p: <{P_NS}> .\n?conv"), doc_id,
+        F.lit(' p:lang "'), F.col("lang"), F.lit('" .\n?g'), doc_id,
+        F.lit(f" {{ <{DOC_NS}"), doc_id, F.lit("> p:nchars "),
+        F.col("n_chars").cast("string"), F.lit(" . }"),
+    )
+    d = docs.select(doc_id.alias("conv_id"), body.alias("text"))
+    ext = extract_triples(d, fmt="gtrig")
+    return triples_of(ext).select("doc_id", "subject", "predicate", "object", "graph")
+
+
+ORACLE_KG_EXTRACT_GTRIG = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '?conv' || doc_id AS subject,
+       '<{P_NS}lang>' AS predicate,
+       '"' || lang || '"' AS object,
+       CAST(NULL AS VARCHAR) AS graph
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), '<{DOC_NS}' || doc_id || '>', '<{P_NS}nchars>',
+       '"' || n_chars || '"^^<{XSD_INT}>', '?g' || doc_id
+FROM documents
+"""
+
+
 def _reparse(blocks: DataFrame, fmt: str, col: str = "block") -> DataFrame:
     """Formatter-roundtrip helper: each serialized block becomes its own
     document (deterministic md5 doc id) and goes back through the matching
@@ -1409,6 +1440,7 @@ QUERIES = {
     "kg_extract_nquads": q_kg_extract_nquads,
     "kg_extract_trig": q_kg_extract_trig,
     "kg_extract_gnq": q_kg_extract_gnq,
+    "kg_extract_gtrig": q_kg_extract_gtrig,
     "kg_format_ntriples": q_kg_format_ntriples,
     "kg_format_nquads": q_kg_format_nquads,
     "kg_format_turtle": q_kg_format_turtle,
@@ -1458,6 +1490,7 @@ ORACLES = {
     "kg_extract_nquads": ORACLE_KG_EXTRACT_NQUADS,
     "kg_extract_trig": ORACLE_KG_EXTRACT_TRIG,
     "kg_extract_gnq": ORACLE_KG_EXTRACT_GNQ,
+    "kg_extract_gtrig": ORACLE_KG_EXTRACT_GTRIG,
     "kg_format_ntriples": ORACLE_KG_FORMAT_NTRIPLES,
     "kg_format_nquads": ORACLE_KG_FORMAT_NQUADS,
     "kg_format_turtle": ORACLE_KG_FORMAT_TURTLE,

@@ -1,0 +1,87 @@
+"""The manifest walker runs the reference's vendored suites directly from
+their manifest.ttl files (the reference's TestManifest does the same,
+testsuite/src/manifest.rs:48-189); a synthetic manifest tree checks
+mf:include recursion. Skips cleanly when /root/reference is absent so the
+repo stays standalone."""
+
+from pathlib import Path
+
+import pytest
+
+from rio_spark.testing.manifest import run_manifest, url_mapper, walk_manifest
+
+TESTSUITE = Path("/root/reference/testsuite")
+SERD_URL = "http://drobilla.net/sw/serd/test"
+
+needs_reference = pytest.mark.skipif(
+    not TESTSUITE.exists(), reason="reference testsuite not vendored"
+)
+
+# entries the repo intentionally diverges on, with the reason; mirrors the
+# reference's own commented-out skip entries (these are IN the serd bad
+# manifest but rio itself also accepts/relaxes some of them)
+SKIP = {
+    # expat (XML Namespaces-conformant) rejects the QName `foo:` with an
+    # empty local part that this test uses; the reference's XML reader is
+    # lenient there. The behavior under test (langtag lowercasing) is still
+    # covered by the .ttl variant in the same manifest. Same exclusion as
+    # rio_spark/testing/corpus.py.
+    "http://rio.test/manifest.ttl#language_normalization_xml":
+        "empty-local-part QName rejected by expat",
+}
+
+
+@needs_reference
+def test_serd_good_manifest():
+    to_path = url_mapper(SERD_URL, TESTSUITE / "serd-tests")
+    outcomes = run_manifest(f"{SERD_URL}/good/manifest.ttl", to_path)
+    assert len(outcomes) > 30
+    failures = [o for o in outcomes if not o.passed and o.test.id not in SKIP]
+    assert not failures, [(o.test.name, o.detail) for o in failures[:5]]
+
+
+@needs_reference
+def test_serd_bad_manifest():
+    to_path = url_mapper(SERD_URL, TESTSUITE / "serd-tests")
+    outcomes = run_manifest(f"{SERD_URL}/bad/manifest.ttl", to_path)
+    assert len(outcomes) > 40
+    failures = [o for o in outcomes if not o.passed and o.test.id not in SKIP]
+    assert not failures, [(o.test.name, o.detail) for o in failures[:5]]
+
+
+@needs_reference
+def test_rio_manifest():
+    url = "http://rio.test"
+    to_path = url_mapper(url, TESTSUITE / "rio-tests")
+    outcomes = run_manifest(f"{url}/manifest.ttl", to_path)
+    assert len(outcomes) >= 10
+    failures = [o for o in outcomes if not o.passed and o.test.id not in SKIP]
+    assert not failures, [(o.test.name, o.detail) for o in failures[:5]]
+
+
+def test_include_recursion(tmp_path):
+    """mf:include trees are followed (how the W3C rdf-tests root manifest is
+    shaped), and entries surface typed + ordered."""
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "manifest.ttl").write_text(
+        """@prefix mf: <http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#> .
+<> a mf:Manifest ; mf:include ( <sub/manifest.ttl> ) ; mf:entries ( <#t1> ) .
+<#t1> a <http://www.w3.org/ns/rdftest#TestTurtlePositiveSyntax> ;
+  mf:name "top" ; mf:action <ok.ttl> .
+"""
+    )
+    (tmp_path / "sub" / "manifest.ttl").write_text(
+        """@prefix mf: <http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#> .
+<> a mf:Manifest ; mf:entries ( <#n1> ) .
+<#n1> a <http://www.w3.org/ns/rdftest#TestNTriplesNegativeSyntax> ;
+  mf:name "nested" ; mf:action <bad.nt> .
+"""
+    )
+    (tmp_path / "ok.ttl").write_text("<http://e/s> <http://e/p> <http://e/o> .")
+    (tmp_path / "sub" / "bad.nt").write_text("<http://e/s> <http://e/p> .")
+    url = "http://example.org/suite"
+    to_path = url_mapper(url, tmp_path)
+    tests = list(walk_manifest(f"{url}/manifest.ttl", to_path))
+    assert [t.name for t in tests] == ["nested", "top"]
+    outcomes = run_manifest(f"{url}/manifest.ttl", to_path)
+    assert all(o.passed for o in outcomes), [(o.test.name, o.detail) for o in outcomes]
