@@ -153,6 +153,19 @@ def _parse_line(s: str, line: int, quads: bool, star: bool):
 def _parse_doc(text: str, quads: bool, star: bool):
     triples: list[tuple] = []
     errors: list[dict] = []
+    # per-document memo: raw IRI -> ONE bracketed str object. Subjects repeat
+    # across adjacent lines and predicates across the whole document; reusing
+    # the same object cuts small-string allocator churn (the measured scaling
+    # bottleneck at high core counts, BENCH/BASELINE.md). Bounded by distinct
+    # terms per document.
+    iri_memo: dict[str, str] = {}
+
+    def wrap(iri: str) -> str:
+        w = iri_memo.get(iri)
+        if w is None:
+            w = iri_memo[iri] = "<" + iri + ">"
+        return w
+
     for lineno, raw in enumerate(text.split("\n"), start=1):
         s = raw[:-1] if raw.endswith("\r") else raw
         if not s or s.lstrip(_WS)[:1] in ("", "#"):
@@ -177,10 +190,10 @@ def _parse_doc(text: str, quads: bool, star: bool):
                     norm_lang = False
                 if norm_lang is not False:
                     if obj_iri is not None:
-                        o: Term = "<" + obj_iri + ">"
+                        o: Term = wrap(obj_iri)
                     else:
                         o = encode_literal(lit, norm_lang, dt)
-                    triples.append(("<" + sub + ">", "<" + pred + ">", o))
+                    triples.append((wrap(sub), wrap(pred), o))
                     continue
         try:
             t = _parse_line(s, lineno, quads, star)

@@ -83,7 +83,7 @@ _F_BNODE_FIRST_RE = re.compile(f"[{PN_CHARS_U_CLASS}0-9]")
 
 class _Parser:
     __slots__ = ("s", "i", "n", "prefixes", "base", "bnode_counter", "out",
-                 "graph", "quads", "star", "depth", "generalized")
+                 "graph", "quads", "star", "depth", "generalized", "_pn_cache")
 
     def __init__(self, text: str, base_iri: str | None, quads: bool, star: bool,
                  generalized: bool = False):
@@ -101,6 +101,12 @@ class _Parser:
         self.star = star
         self.depth = 0
         self.generalized = generalized
+        # per-document memo: prefixed-name token -> canonical IRI string.
+        # Predicates/types repeat across statements; reusing ONE str object
+        # per distinct term cuts small-string allocator churn, which is the
+        # measured scaling bottleneck at high core counts (BENCH/BASELINE.md).
+        # Invalidated on prefix redeclaration; bounded by distinct terms/doc.
+        self._pn_cache: dict[str, str] = {}
 
     def _iri_of(self, iri: str) -> str:
         """Resolve an IRIREF against the base. Generalized mode (S7) keeps
@@ -189,6 +195,7 @@ class _Parser:
             raise self.err("UnexpectedChar", "expected IRI in prefix directive")
         iri, self.i = scan_iriref(self.s, self.i, 0)
         self.prefixes[name] = self._iri_of(iri)[1:-1]
+        self._pn_cache.clear()  # redeclaration invalidates cached expansions
         if not sparql_style:
             self.skip_ws()
             self.expect(".")
@@ -199,6 +206,7 @@ class _Parser:
             raise self.err("UnexpectedChar", "expected IRI in base directive")
         iri, self.i = scan_iriref(self.s, self.i, 0)
         self.base = resolve_or_validate(iri, self.base)
+        self._pn_cache.clear()  # relative-IRI expansions depend on the base
         if not sparql_style:
             self.skip_ws()
             self.expect(".")
@@ -671,10 +679,15 @@ class _Parser:
         """Expand a fast-path token; None = fall back to the full grammar."""
         c0 = tok[0]
         if c0 == "<":
+            cached = self._pn_cache.get(tok)
+            if cached is not None:
+                return cached
             try:
-                return self._iri_of(tok[1:-1])
+                out = self._iri_of(tok[1:-1])
             except ParseError:
                 return None
+            self._pn_cache[tok] = out
+            return out
         if c0 == "_":
             label = tok[2:]
             if not label or label.endswith(".") or not _F_BNODE_FIRST_RE.match(label):
@@ -703,6 +716,9 @@ class _Parser:
                 return None
         if ":" not in tok:
             return None
+        cached = self._pn_cache.get(tok)
+        if cached is not None:
+            return cached
         prefix, local = tok.split(":", 1)
         if prefix.endswith(".") or local.endswith("."):
             return None  # maximal munch ate a statement/extra dot
@@ -711,7 +727,9 @@ class _Parser:
         ns = self.prefixes.get(prefix)
         if ns is None:
             return None  # slow path raises the positioned UnknownPrefix
-        return "<" + ns + local + ">"
+        out = "<" + ns + local + ">"
+        self._pn_cache[tok] = out
+        return out
 
     def try_fast_statement(self) -> bool:
         m = _FAST_STMT_RE.match(self.s, self.i)

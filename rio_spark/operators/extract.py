@@ -1,12 +1,19 @@
 """Vectorized triple extraction: assembled documents -> triples + error rows.
 
 The Spark re-expression of the reference's streaming callback parsers
-(SURVEY.md §3.1): one ``mapInPandas`` over Arrow batches of documents; each
+(SURVEY.md §3.1): one ``mapInArrow`` over Arrow batches of documents; each
 batch row is a whole conversation document, parsed by the pure-Python grammar
 kernels; the UDF *flat-maps* one document row into N triple rows plus M error
 rows (errors are rows, never job failures — SURVEY.md §2.5 F1/F2). No
 per-row Python UDFs anywhere; Python cost is amortized over Arrow batches and
 the downstream pipeline is 100% JVM column ops over canonical strings.
+
+``mapInArrow`` (not ``mapInPandas``) is deliberate: output RecordBatches are
+built straight from the kernel's string lists and FLUSHED IN BOUNDED CHUNKS,
+so a task never materializes a multi-million-row pandas frame (one
+10k-statement document times hundreds of documents per task did exactly that,
+and 32 tasks allocating hundreds of MB simultaneously saturated the shared
+allocator/memory bus — the measured 8->32 scaling cliff in BENCH/BASELINE.md).
 
 Blank nodes are relabelled deterministically per document:
 ``_:{doc}_b{k}`` in first-occurrence order (G22 — blank-node scope is one
@@ -18,7 +25,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -108,30 +115,70 @@ def extract_triples(
 
     from rio_spark.model import serialize_term
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # columnar construction: no per-row tuples, one list append per
-            # cell — measurably less allocator/GC churn at millions of rows
-            c_doc: list = []; c_s: list = []; c_p: list = []; c_o: list = []; c_g: list = []
-            e_doc: list = []; e_kind: list = []; e_line: list = []
-            e_byte: list = []; e_msg: list = []
-            ids = pdf[id_col].astype(str)
-            texts = pdf[text_col]
-            fmts = pdf[format_col] if has_format else None
-            bases = pdf[base_col] if has_base else None
-            for k in range(len(pdf)):
-                doc_fmt = fmts.iloc[k] if fmts is not None else fmt
-                base = bases.iloc[k] if bases is not None else None
+    arrow_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("subject", pa.string()),
+            ("predicate", pa.string()),
+            ("object", pa.string()),
+            ("graph", pa.string()),
+            ("error_kind", pa.string()),
+            ("error_line", pa.int32()),
+            ("error_byte", pa.int32()),
+            ("error_msg", pa.string()),
+        ]
+    )
+    # flush threshold: bounds a task's live output to ~chunk rows of small
+    # strings (a few MB) no matter how many 10k-statement documents it holds
+    chunk = 1 << 16
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # columnar construction: no per-row tuples, one list append per cell;
+        # RecordBatches are built straight from the lists (no pandas frame)
+        c_doc: list = []; c_s: list = []; c_p: list = []; c_o: list = []; c_g: list = []
+        e_doc: list = []; e_kind: list = []; e_line: list = []
+        e_byte: list = []; e_msg: list = []
+
+        def flush() -> pa.RecordBatch:
+            n_t, n_e = len(c_doc), len(e_doc)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c_doc + e_doc, pa.string()),
+                    pa.array(c_s + [None] * n_e, pa.string()),
+                    pa.array(c_p + [None] * n_e, pa.string()),
+                    pa.array(c_o + [None] * n_e, pa.string()),
+                    pa.array(c_g + [None] * n_e, pa.string()),
+                    pa.array([None] * n_t + e_kind, pa.string()),
+                    pa.array([None] * n_t + e_line, pa.int32()),
+                    pa.array([None] * n_t + e_byte, pa.int32()),
+                    pa.array([None] * n_t + e_msg, pa.string()),
+                ],
+                schema=arrow_schema,
+            )
+            for lst in (c_doc, c_s, c_p, c_o, c_g, e_doc, e_kind, e_line, e_byte, e_msg):
+                lst.clear()
+            return out
+
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index(id_col)).to_pylist()
+            texts = batch.column(names.index(text_col)).to_pylist()
+            fmts = batch.column(names.index(format_col)).to_pylist() if has_format else None
+            bases = batch.column(names.index(base_col)).to_pylist() if has_base else None
+            for k in range(len(ids)):
+                doc_fmt = fmts[k] if fmts is not None else fmt
+                base = bases[k] if bases is not None else None
                 if base is not None and not isinstance(base, str):
                     base = None
-                did = ids.iloc[k]
+                did = ids[k]
+                did = did if isinstance(did, str) else str(did)
                 parser = _PARSERS.get(doc_fmt)
                 if parser is None:
                     e_doc.append(did); e_kind.append("UnsupportedFormat")
                     e_line.append(0); e_byte.append(0)
                     e_msg.append(f"unknown format {doc_fmt!r}")
                     continue
-                triples, errors = parser(texts.iloc[k], base)
+                triples, errors = parser(texts[k], base)
                 scope = _SCOPE_SANITIZE.sub("_", did) + "_"
                 labels: dict = {}
                 for row in triples:
@@ -147,23 +194,12 @@ def extract_triples(
                     e_doc.append(did); e_kind.append(e["kind"])
                     e_line.append(int(e["line"])); e_byte.append(int(e["byte"]))
                     e_msg.append(e["msg"])
-            n_t, n_e = len(c_doc), len(e_doc)
-            out = pd.DataFrame(
-                {
-                    "doc_id": c_doc + e_doc,
-                    "subject": c_s + [None] * n_e,
-                    "predicate": c_p + [None] * n_e,
-                    "object": c_o + [None] * n_e,
-                    "graph": c_g + [None] * n_e,
-                    "error_kind": [None] * n_t + e_kind,
-                    "error_line": pd.array([None] * n_t + e_line, dtype="Int32"),
-                    "error_byte": pd.array([None] * n_t + e_byte, dtype="Int32"),
-                    "error_msg": [None] * n_t + e_msg,
-                }
-            )
-            yield out
+                if len(c_doc) + len(e_doc) >= chunk:
+                    yield flush()
+        if c_doc or e_doc:
+            yield flush()
 
-    return docs.mapInPandas(fn, schema=EXTRACT_SCHEMA)
+    return docs.mapInArrow(fn, schema=EXTRACT_SCHEMA)
 
 
 def triples_of(extracted: DataFrame) -> DataFrame:

@@ -124,3 +124,31 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(normalize_text(F.col(text_col))).alias("fp"),
         F.array_min(F.transform(shingles_col(F.col(text_col), 5), F.md5)).alias("rolling_fp"),
     )
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    piece: int = 4) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style regex pre-tokenizer (letter runs
+    / digit runs / single punctuation) plus a subword estimate that splits
+    each letter run into ceil(len/piece) pieces — the standard cheap stand-in
+    for a real BPE vocab when budgeting token counts over a 100 TB corpus.
+    Pure column ops (regexp_extract_all + higher-order functions); the regex
+    is deliberately RE2-safe so the DuckDB oracle evaluates it identically.
+
+    -> (doc_id, n_pretokens, n_words, n_numbers, n_punct, n_subwords)."""
+    lowered = F.lower(F.col(text_col))
+    pre = F.regexp_extract_all(lowered, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    words = F.regexp_extract_all(lowered, F.lit(r"[a-z]+"), 0)
+    numbers = F.regexp_extract_all(lowered, F.lit(r"[0-9]+"), 0)
+    subwords = F.aggregate(
+        words, F.lit(0),
+        lambda acc, wd: acc + F.ceil(F.length(wd) / F.lit(piece)).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(pre).alias("n_pretokens"),
+        F.size(words).alias("n_words"),
+        F.size(numbers).alias("n_numbers"),
+        (F.size(pre) - F.size(words) - F.size(numbers)).alias("n_punct"),
+        subwords.alias("n_subwords"),
+    )

@@ -1386,6 +1386,149 @@ def q_streaming_tumbling(spark, sf_dir) -> DataFrame:
 ORACLE_STREAMING_TUMBLING = ORACLE_EVENTS_TUMBLING
 
 
+def q_text_bpe_tokens(spark, sf_dir) -> DataFrame:
+    """BPE-ish token budgeting: regex pre-tokenizer + ceil(len/4) subword
+    estimate, all column ops (whole-stage codegen)."""
+    from rio_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(
+        _documents(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+
+
+ORACLE_TEXT_BPE_TOKENS = r"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_pretokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_words,
+  CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS INT) AS n_numbers,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+       - len(regexp_extract_all(lower(text), '[a-z]+'))
+       - len(regexp_extract_all(lower(text), '[0-9]+')) AS INT) AS n_punct,
+  CAST(coalesce(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+                                        w -> CAST(ceil(length(w) / 4.0) AS INT))), 0) AS INT)
+    AS n_subwords
+FROM documents
+"""
+
+
+def q_events_asof(spark, sf_dir) -> DataFrame:
+    """As-of join: every click gets the latest purchase at-or-before it for
+    the same user — union-tag + forward-fill window, ONE shuffle on user_id
+    (never a range theta-join)."""
+    from rio_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts="ts",
+                    payload=["event_id"], tiebreak="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        ntz_epoch(F.col("ts")).alias("ts_epoch"),
+        F.col("asof_event_id").alias("purchase_event_id"),
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+SELECT e.event_id, e.user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+       (SELECT p.event_id FROM p
+        WHERE p.user_id = e.user_id AND p.ts <= e.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_event_id
+FROM events e WHERE e.event_type = 'click'
+"""
+
+
+def q_orders_semi(spark, sf_dir) -> DataFrame:
+    """Semi-join shape (TPC-H Q4 style, adapted to the available columns):
+    orders from Q1-1995 having at least one lineitem shipped after June."""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-06-01")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDERS_SEMI = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_anti(spark, sf_dir) -> DataFrame:
+    """Anti-join shape: customers with no orders, counted per segment."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.min("c_custkey").alias("min_custkey"))
+    )
+
+
+ORACLE_CUSTOMERS_ANTI = """
+SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_streaming_sessions(spark, sf_dir) -> DataFrame:
+    """Streaming gap-based session windows (built-in session_window) replayed
+    over the events table; timestamps truncated to seconds FIRST so the
+    merge boundary is reproducible in the epoch-second oracle (raw event ts
+    carry sub-second precision). Session end = last event + gap (Spark
+    session_window semantics; new session iff gap >= 30 min)."""
+    from rio_spark.streaming.windows import read_event_stream, session_windows_stream
+
+    ev = read_event_stream(spark, sf_dir, glob="events.parquet").withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    agg = session_windows_stream(ev, gap_minutes=30)
+    return _drain_stream(agg, "complete").select(
+        "user_id",
+        ntz_epoch(F.col("s_start")).alias("s_start_epoch"),
+        ntz_epoch(F.col("s_end")).alias("s_end_epoch"),
+        "n_events",
+        "total_value",
+    )
+
+
+ORACLE_STREAMING_SESSIONS = """
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value FROM events
+), s AS (
+  SELECT *,
+         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY e)
+), s2 AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY e
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(e) AS s_start_epoch, max(e) + 1800 AS s_end_epoch,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM s2 GROUP BY user_id, sid
+"""
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: binary payloads + typed metadata through a real
     mapInPandas Arrow kernel (codec layer stubbed — no image libs in this
@@ -1455,6 +1598,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_bpe_tokens": q_text_bpe_tokens,
     "sim_topk": q_sim_topk,
     "sim_pairs": q_sim_pairs,
     "sim_pairs_lsh": q_sim_pairs_lsh,
@@ -1471,8 +1615,12 @@ QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "tpch_rollup": q_tpch_rollup,
     "tpch_pivot": q_tpch_pivot,
+    "orders_semi": q_orders_semi,
+    "customers_anti": q_customers_anti,
+    "events_asof": q_events_asof,
     "streaming_dedup": q_streaming_dedup,
     "streaming_tumbling": q_streaming_tumbling,
+    "streaming_sessions": q_streaming_sessions,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1505,6 +1653,7 @@ ORACLES = {
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "text_bpe_tokens": ORACLE_TEXT_BPE_TOKENS,
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_pairs": ORACLE_SIM_PAIRS,
     "sim_pairs_lsh": ORACLE_SIM_PAIRS_LSH,
@@ -1521,7 +1670,11 @@ ORACLES = {
     "events_distinct_users": ORACLE_EVENTS_DISTINCT_USERS,
     "tpch_rollup": ORACLE_TPCH_ROLLUP,
     "tpch_pivot": ORACLE_TPCH_PIVOT,
+    "orders_semi": ORACLE_ORDERS_SEMI,
+    "customers_anti": ORACLE_CUSTOMERS_ANTI,
+    "events_asof": ORACLE_EVENTS_ASOF,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_tumbling": ORACLE_STREAMING_TUMBLING,
+    "streaming_sessions": ORACLE_STREAMING_SESSIONS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

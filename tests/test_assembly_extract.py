@@ -134,4 +134,5 @@ def test_dedup_quad_set_semantics(spark):
 
 def test_extraction_plan_is_arrow_batched(extracted):
     plan = extracted._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert any(m in plan for m in ("MapInArrow", "PythonMapInArrow",
+                                   "MapInPandas", "ArrowEvalPython")), plan
