@@ -43,19 +43,27 @@ def detect_mentions(docs: DataFrame, id_col: str = "conv_id", text_col: str = "t
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9' ]+", " ")), r"\s+").alias("toks"),
     )
-    grams = None
-    for n in range(1, MAX_NGRAM + 1):
-        g = toks.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - (n - 1), F.lit(0))),
-                    lambda _, i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
-                )
-            ).alias("pos", "mention_key"),
+
+    def grams_for(n: int):
+        # (pos, n-gram) structs for one n; empty when the doc is shorter
+        cnt = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+        idx = F.slice(F.sequence(F.lit(1), F.size("toks")), 1, cnt)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                (i - 1).alias("pos"),
+                F.array_join(F.slice(F.col("toks"), i, n), " ").alias("mention_key"),
+            ),
         )
-        grams = g if grams is None else grams.unionByName(g)
-    return grams.filter(F.length("mention_key") > 1)
+
+    # ONE scan + ONE explode for all n-gram sizes (a per-n union would scan
+    # and tokenize the corpus MAX_NGRAM times — 3x the bytes at 100 TB)
+    all_grams = F.concat(*[grams_for(n) for n in range(1, MAX_NGRAM + 1)])
+    return (
+        toks.select("doc_id", F.explode(all_grams).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.mention_key").alias("mention_key"))
+        .filter(F.length("mention_key") > 1)
+    )
 
 
 def link_broadcast(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:

@@ -1529,6 +1529,31 @@ FROM s2 GROUP BY user_id, sid
 """
 
 
+def q_streaming_kg_extract(spark, sf_dir) -> DataFrame:
+    """KG extraction as a STREAMING job: the same mapInArrow grammar-kernel
+    operator running stateless inside a Structured Streaming query (documents
+    stream in, canonical triples stream out, append mode) — the
+    ingest-on-arrival form of the batch pipeline. Oracle = the batch
+    extraction oracle."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    doc_id = F.col("doc_id").cast("string")
+    lines = _nt_lines()
+    d = stream.select(doc_id.alias("conv_id"),
+                      F.concat_ws("\n", *lines).alias("text"))
+    ext = triples_of(extract_triples(d, fmt="nt", parallelism=0))
+    out = _drain_stream(ext.select("doc_id", "subject", "predicate", "object"),
+                        "append")
+    return out
+
+
+ORACLE_STREAMING_KG_EXTRACT = ORACLE_KG_EXTRACT_NT
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: binary payloads + typed metadata through a real
     mapInPandas Arrow kernel (codec layer stubbed — no image libs in this
@@ -1621,6 +1646,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_kg_extract": q_streaming_kg_extract,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1676,5 +1702,6 @@ ORACLES = {
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_tumbling": ORACLE_STREAMING_TUMBLING,
     "streaming_sessions": ORACLE_STREAMING_SESSIONS,
+    "streaming_kg_extract": ORACLE_STREAMING_KG_EXTRACT,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }
