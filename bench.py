@@ -32,10 +32,16 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "sim_topk",
     "sim_lsh_buckets",
+    "sim_pairs_lsh",
+    "sim_ivf_topk",
+    "text_bpe_tokens",
+    "dedup_lsh_pairs",
     "tpch_q1",
     "tpch_q5",
+    "orders_semi",
     "window_topk",
     "events_sessionize",
+    "events_asof",
 ]
 
 

@@ -159,6 +159,76 @@ def cosine_pairs_lsh(
     )
 
 
+def _l2sq(v, c_dot: float, c_vec):
+    """||v - c||^2 = v.v - 2 v.c + c.c (v.v cancels in argmin, kept out)."""
+    return -2.0 * _dot(v, c_vec) + F.lit(c_dot)
+
+
+def ivf_cells(
+    embeddings: DataFrame, n_centroids: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", centroids: list[list[float]] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the ``n_centroids`` lowest-id embeddings (deterministic,
+    data-derived — same convention as the LSH planes; a k-means refinement
+    can replace them without changing the plan shape). Assignment is a pure
+    column expression: the v.v term cancels in the argmin, so each cell is
+    ``argmin_c (-2 v.c + c.c)`` over ``n_centroids`` literal arrays —
+    distances are rounded before comparison so the argmin is reproducible
+    across engines, ties break to the lowest centroid index.
+    -> (vec_id, cell int)."""
+    if centroids is None:
+        centroids = collect_planes(embeddings, n_centroids, id_col, vec_col)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _cell_expr(vec_col, centroids, round_to).alias("cell"),
+    )
+
+
+def _cell_expr(vec_col: str, centroids: list[list[float]], round_to: int = 6):
+    """Nearest-centroid index as a pure column expression (see ivf_cells)."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.array(*[
+        F.struct(
+            F.round(_l2sq(v, sum(x * x for x in c), F.array(*[F.lit(x) for x in c])),
+                    round_to).alias("d"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return F.array_min(scored)["cell"]
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_centroids: int = 8, nprobe: int = 2, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_to: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: probe the ``nprobe`` centroids nearest to the query and
+    run exact cosine top-k only inside those cells. ONE Spark job: the
+    centroid collect is bounded by the constant ``n_centroids``, the query's
+    probe set is computed driver-side, and candidates are a FILTER on the
+    cell expression (no join, no shuffle before the top-k). Recall grows
+    with nprobe; nprobe == n_centroids is exact."""
+    centroids = collect_planes(embeddings, n_centroids, id_col, vec_col)
+
+    def l2sq(c):
+        return round(sum((a - b) ** 2 for a, b in zip(query_vec, c)), 6)
+
+    probe = sorted(range(len(centroids)), key=lambda i: (l2sq(centroids[i]), i))[:nprobe]
+    cand = embeddings.filter(_cell_expr(vec_col, centroids).isin(probe))
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        cand.select(F.col(id_col).alias("vec_id"), F.round(cos, round_to).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1320,6 +1320,82 @@ LIMIT 5
 """
 
 
+_CENTROIDS8_SQL = """
+  SELECT list(embedding::DOUBLE[] ORDER BY vec_id) AS cents
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+"""
+
+# per-vector nearest-centroid index: argmin over rounded reduced L2
+# (-2 v.c + c.c — the v.v term cancels), first index wins ties (matches
+# Spark's array_min over (d, cell) structs)
+_IVF_CELL_SQL = """
+  list_position(
+    list_transform(generate_series(1, 8), i ->
+      round(-2 * list_dot_product(e.embedding::DOUBLE[], p.cents[i])
+            + list_dot_product(p.cents[i], p.cents[i]), 6)),
+    list_min(
+      list_transform(generate_series(1, 8), i ->
+        round(-2 * list_dot_product(e.embedding::DOUBLE[], p.cents[i])
+              + list_dot_product(p.cents[i], p.cents[i]), 6)))
+  ) - 1
+"""
+
+
+def q_sim_ivf_cells(spark, sf_dir) -> DataFrame:
+    """IVF coarse quantizer: cell histogram (the partition layout an IVF
+    index would shuffle by at scale)."""
+    from rio_spark.operators.similarity import ivf_cells
+
+    return (
+        ivf_cells(_embeddings(spark, sf_dir), n_centroids=8)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_SIM_IVF_CELLS = f"""
+WITH p AS ({_CENTROIDS8_SQL})
+SELECT CAST({_IVF_CELL_SQL} AS INT) AS cell, count(*) AS n
+FROM embeddings e, p
+GROUP BY 1
+"""
+
+
+def q_sim_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF-flat ANN: nprobe=2 nearest cells to the query, exact cosine top-k
+    inside them only — candidates are a FILTER on the cell expression."""
+    from rio_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return ivf_topk(emb, qv, k=5, n_centroids=8, nprobe=2)
+
+
+ORACLE_SIM_IVF_TOPK = f"""
+WITH p AS ({_CENTROIDS8_SQL}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+pr AS (
+  SELECT i - 1 AS cell,
+         round(list_sum(list_transform(generate_series(1, len(q.qv)),
+               j -> (q.qv[j] - p.cents[i][j]) * (q.qv[j] - p.cents[i][j]))), 6) AS d
+  FROM q, p, generate_series(1, 8) t(i)
+),
+probe AS (SELECT cell FROM pr ORDER BY d, cell LIMIT 2),
+cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, CAST({_IVF_CELL_SQL} AS INT) AS cell
+  FROM embeddings e, p
+)
+SELECT vec_id,
+       round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4)
+         AS cosine
+FROM cand c, q
+WHERE c.cell IN (SELECT cell FROM probe)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
 from itertools import count as _it_count
 
 _STREAM_SEQ = _it_count()
@@ -1594,6 +1670,85 @@ FROM hx
 """
 
 
+def q_multimodal_frames(spark, sf_dir) -> DataFrame:
+    """Video frame sampling from metadata only — the column-pruned scan never
+    touches the binary payload (check ReadSchema if this ever regresses)."""
+    from rio_spark.operators.multimodal import sample_frames, synthetic_assets
+
+    return sample_frames(synthetic_assets(spark, n=64), every_ms=250)
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH v AS (
+  SELECT CAST(i AS BIGINT) AS asset_id, 1000 + i * 13 AS dur
+  FROM range(64) t(i) WHERE i % 3 = 2
+)
+SELECT asset_id, CAST(j AS INT) AS frame_idx, CAST(j * 250 AS INT) AS offset_ms
+FROM (SELECT asset_id,
+             unnest(generate_series(0, CAST(floor(dur / 250.0) AS INT))) AS j
+      FROM v)
+"""
+
+
+def q_multimodal_resize(spark, sf_dir) -> DataFrame:
+    """Aspect-preserving resize targets as column math over image metadata."""
+    from rio_spark.operators.multimodal import resize_meta, synthetic_assets
+
+    return resize_meta(synthetic_assets(spark, n=64), max_dim=64)
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH img AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         CAST(64 + i % 128 AS INT) AS width, CAST(48 + i % 96 AS INT) AS height
+  FROM range(64) t(i) WHERE i % 3 = 0
+)
+SELECT asset_id, width, height,
+       CAST(floor(width * least(64.0 / width, 64.0 / height, 1.0)) AS INT) AS target_width,
+       CAST(floor(height * least(64.0 / width, 64.0 / height, 1.0)) AS INT) AS target_height
+FROM img
+"""
+
+
+def q_kg_canonicalize(spark, sf_dir) -> DataFrame:
+    """Full J3 path: owl:sameAs alias edges -> connected components ->
+    canonical mapping -> broadcast triple rewrite (degenerate self-loops
+    dropped). Entities are zero-padded so the lexicographic component min is
+    the group leader the oracle can name."""
+    from rio_spark.operators.canonicalize import canonicalize
+
+    docs = _documents(spark, sf_dir)
+    doc_id = F.col("doc_id").cast("string")
+    ent = F.concat(F.lit("<http://kg.example/e/"),
+                   F.lpad(doc_id, 6, "0"), F.lit(">"))
+    leader = F.concat(F.lit("<http://kg.example/e/"),
+                      F.lpad((F.col("doc_id") - F.col("doc_id") % 5).cast("string"), 6, "0"),
+                      F.lit(">"))
+    null_g = F.lit(None).cast("string").alias("graph")
+    facts = docs.select(
+        doc_id.alias("doc_id"), ent.alias("subject"),
+        F.lit(f"<{P_NS}lang>").alias("predicate"),
+        F.concat(F.lit('"'), F.col("lang"), F.lit('"')).alias("object"), null_g,
+    )
+    aliases = docs.select(
+        doc_id.alias("doc_id"), ent.alias("subject"),
+        F.lit("<http://www.w3.org/2002/07/owl#sameAs>").alias("predicate"),
+        leader.alias("object"), null_g,
+    )
+    out = canonicalize(facts.unionByName(aliases))
+    return out.select("doc_id", "subject", "predicate", "object")
+
+
+ORACLE_KG_CANONICALIZE = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '<http://kg.example/e/'
+         || lpad(CAST(doc_id - doc_id % 5 AS VARCHAR), 6, '0') || '>' AS subject,
+       '<{P_NS}lang>' AS predicate,
+       '"' || lang || '"' AS object
+FROM documents
+"""
+
+
 QUERIES = {
     "kg_extract_nt": q_kg_extract_nt,
     "kg_extract_turtle": q_kg_extract_turtle,
@@ -1603,6 +1758,7 @@ QUERIES = {
     "kg_assembly": q_kg_assembly,
     "kg_connected_components": q_kg_connected_components,
     "kg_cc_skewed": q_kg_cc_skewed,
+    "kg_canonicalize": q_kg_canonicalize,
     "kg_entity_linking": q_kg_entity_linking,
     "kg_link_blocked": q_kg_link_blocked,
     "kg_extract_nquads": q_kg_extract_nquads,
@@ -1629,6 +1785,8 @@ QUERIES = {
     "sim_pairs_lsh": q_sim_pairs_lsh,
     "sim_ann_topk": q_sim_ann_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_ivf_cells": q_sim_ivf_cells,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1648,6 +1806,8 @@ QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "streaming_kg_extract": q_streaming_kg_extract,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
@@ -1659,6 +1819,7 @@ ORACLES = {
     "kg_assembly": ORACLE_KG_ASSEMBLY,
     "kg_connected_components": ORACLE_KG_CONNECTED_COMPONENTS,
     "kg_cc_skewed": ORACLE_KG_CC_SKEWED,
+    "kg_canonicalize": ORACLE_KG_CANONICALIZE,
     "kg_entity_linking": ORACLE_KG_ENTITY_LINKING,
     "kg_link_blocked": ORACLE_KG_ENTITY_LINKING,
     "kg_extract_nquads": ORACLE_KG_EXTRACT_NQUADS,
@@ -1685,6 +1846,8 @@ ORACLES = {
     "sim_pairs_lsh": ORACLE_SIM_PAIRS_LSH,
     "sim_ann_topk": ORACLE_SIM_ANN_TOPK,
     "sim_lsh_buckets": ORACLE_SIM_LSH_BUCKETS,
+    "sim_ivf_cells": ORACLE_SIM_IVF_CELLS,
+    "sim_ivf_topk": ORACLE_SIM_IVF_TOPK,
     "tpch_q1": ORACLE_TPCH_Q1,
     "tpch_q3": ORACLE_TPCH_Q3,
     "tpch_q5": ORACLE_TPCH_Q5,
@@ -1704,4 +1867,6 @@ ORACLES = {
     "streaming_sessions": ORACLE_STREAMING_SESSIONS,
     "streaming_kg_extract": ORACLE_STREAMING_KG_EXTRACT,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
 }

@@ -11,6 +11,7 @@ from rio_spark.plans.catalog import (
     q_kg_link_blocked,
     q_sim_pairs_lsh,
     q_sim_ann_topk,
+    q_sim_ivf_topk,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -49,6 +50,13 @@ def test_ann_topk_is_filter_not_join(spark):
     plan = plan_of(q_sim_ann_topk(spark, SF_DIR))
     # candidates come from a FILTER on the bucket expression — no join stage,
     # no extra probe job
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan
+
+
+def test_ivf_topk_is_filter_not_join(spark):
+    plan = plan_of(q_sim_ivf_topk(spark, SF_DIR))
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join not in plan
