@@ -54,7 +54,9 @@ def scaling_mode() -> None:
     for cores in (2, 8):
         spark = get_spark(app_name=f"rio_spark_scaling_{cores}", cores=cores,
                           shuffle_partitions=max(cores, 8))
-        r = _throughput_stage(spark, "0.1", cores, n_convs=40000, n_runs=4)
+        # 6 runs: this microVM shows +/-50% noise; min-of-5-post-warmup keeps
+        # the pair comparison stable across windows
+        r = _throughput_stage(spark, "0.1", cores, n_convs=40000, n_runs=6)
         results[f"local[{cores}]"] = r
         spark.stop()
     t_n, t_4n = results["local[2]"], results["local[8]"]

@@ -8,7 +8,6 @@ DuckDB HUGEINT vs Spark long mismatch fails there even when values match).
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
@@ -17,28 +16,9 @@ sys.path.insert(0, "/root/repo")
 
 from rio_spark.plans.catalog import ORACLES, QUERIES  # noqa: E402
 from rio_spark.session import get_spark  # noqa: E402
+from rio_spark.testing.parity import TABLES, canon  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
-
-def canon(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    rows = []
-    for row in df.itertuples(index=False):
-        out = []
-        for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                out.append(None)
-            elif isinstance(v, float):
-                out.append(round(v, 9))
-            else:
-                out.append(v)
-        rows.append(tuple(out))
-    return sorted(rows, key=repr)
 
 
 def main():

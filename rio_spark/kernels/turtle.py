@@ -474,11 +474,10 @@ class _Parser:
             label, self.i = scan_blank_node_label(self.s, self.i, 0)
             return BNode("u", label)
         if c == "[":
-            j = self.i + 1
-            while j < self.n and self.s[j] in " \t\r\n":
-                j += 1
-            if j < self.n and self.s[j] == "]":
-                self.i = j + 1
+            # ANON only ('[' ws ']', no comments — same as the reference's
+            # is_followed_by_space_and_closing_bracket)
+            if self._anon_ahead():
+                self.i = self.s.index("]", self.i) + 1
                 return self.fresh_bnode()
             raise self.err("UnexpectedChar", "property list not allowed here")
         if c in "\"'":
@@ -498,12 +497,8 @@ class _Parser:
     def parse_generalized_node(self) -> Term:
         """Node in generalized mode: property list / collection / term."""
         c = self.peek()
-        if c == "[":
-            j = self.i + 1
-            while j < self.n and self.s[j] in " \t\r\n":
-                j += 1
-            if not (j < self.n and self.s[j] == "]"):
-                return self.parse_bnode_property_list()
+        if c == "[" and not self._anon_ahead():
+            return self.parse_bnode_property_list()
         if c == "(":
             return self.parse_collection()
         return self.parse_generalized_term()

@@ -39,19 +39,23 @@ def asof_join(
         payload = [c for c in right.columns if c not in (on, ts)]
     tb_l = F.col(tiebreak) if tiebreak and tiebreak in left.columns else F.lit(0)
     tb_r = F.col(tiebreak) if tiebreak else F.lit(0)
+    # the right payload travels as ONE struct (null for left rows) and the
+    # window fills THE STRUCT, never per-column: per-column fills would mix
+    # fields from different right rows whenever a payload column is null
+    r_struct = F.struct(*[F.col(c) for c in payload])
     l_tag = left.select(
         F.col(on), F.col(ts),
         F.lit(1).alias("_side"),
         tb_l.alias("_tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(right.select(r_struct).schema[0].dataType).alias("_r"),
     )
     r_tag = right.select(
         F.col(on), F.col(ts),
         F.lit(0).alias("_side"),
         tb_r.alias("_tb"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        r_struct.alias("_r"),
     )
     # side order makes the tie policy: right(0) sorts before left(1) at equal
     # ts, so a same-instant right row is already "seen" by the fill — unless
@@ -63,14 +67,13 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r_fill")
     )
     out_cols = [F.col("_l")[c].alias(c) for c in left.columns]
     return (
         filled.filter(F.col("_side") == 1)
-        .select(*out_cols, *[F.col(f"{prefix}{c}") for c in payload])
+        .select(
+            *out_cols,
+            *[F.col("_r_fill")[c].alias(f"{prefix}{c}") for c in payload],
+        )
     )

@@ -69,6 +69,19 @@ PARSERS = {
 
 UrlToPath = Callable[[str], Path]
 
+# intentional, documented divergences from the reference on the vendored
+# suites — shared by tests/test_manifest_walker.py and
+# jobs/conformance_report.py so neither goes red on a known, accepted gap
+KNOWN_DIVERGENCES: dict[str, str] = {
+    # expat (XML Namespaces-conformant) rejects the QName `foo:` with an
+    # empty local part that this test uses; the reference's XML reader is
+    # lenient there. The behavior under test (langtag lowercasing) is still
+    # covered by the .ttl variant in the same manifest. Same exclusion as
+    # rio_spark/testing/corpus.py.
+    "http://rio.test/manifest.ttl#language_normalization_xml":
+        "empty-local-part QName rejected by expat",
+}
+
 
 def url_mapper(url_prefix: str, local_root: Path) -> UrlToPath:
     """The reference's file_reader closure: canonical URL -> local file."""
@@ -196,13 +209,15 @@ def run_test(test: ManifestTest, to_path: UrlToPath) -> TestOutcome:
     if gerrs:
         return TestOutcome(test, False, f"golden failed to parse: {gerrs[:2]}")
     golden = serialize_triples(gt)
-    iso = not errors and are_isomorphic(emitted, golden)
+    if errors:
+        # BOTH eval kinds require the action document to PARSE — a
+        # NegativeEval input is syntactically legal, its GRAPH must differ;
+        # passing it on a parse error would mask parser regressions
+        return TestOutcome(test, False, f"errors: {errors[:2]}")
+    iso = are_isomorphic(emitted, golden)
     if test.kind == "negative_eval":
         return TestOutcome(test, not iso, "" if not iso else "graphs should differ")
-    return TestOutcome(
-        test, iso,
-        "" if iso else (f"errors: {errors[:2]}" if errors else "not isomorphic"),
-    )
+    return TestOutcome(test, iso, "" if iso else "not isomorphic")
 
 
 def run_manifest(manifest_url: str, to_path: UrlToPath) -> list[TestOutcome]:

@@ -57,6 +57,22 @@ def test_left_columns_preserved(spark):
     assert out.count() == 3
 
 
+def test_null_payload_fields_do_not_mix_rows(spark):
+    """The fill must be whole-row: a null payload field in the latest right
+    row must NOT be backfilled from an older right row."""
+    left = spark.createDataFrame(
+        [("u1", ts("2024-01-01T12:00:00"), "l1")], "k string, ts timestamp, lid string"
+    )
+    right = spark.createDataFrame(
+        [("u1", ts("2024-01-01T10:00:00"), 1, "old"),
+         ("u1", ts("2024-01-01T11:00:00"), 2, None)],
+        "k string, ts timestamp, rid int, val string",
+    )
+    out = asof_join(left, right, on="k", ts="ts", payload=["rid", "val"],
+                    tiebreak="rid").collect()
+    assert (out[0]["asof_rid"], out[0]["asof_val"]) == (2, None)
+
+
 def test_plan_is_single_window_no_join(spark):
     left, right = frames(spark)
     out = asof_join(left, right, on="k", ts="ts", payload=["rid"], tiebreak="rid")

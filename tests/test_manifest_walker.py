@@ -8,7 +8,12 @@ from pathlib import Path
 
 import pytest
 
-from rio_spark.testing.manifest import run_manifest, url_mapper, walk_manifest
+from rio_spark.testing.manifest import (
+    KNOWN_DIVERGENCES as SKIP,
+    run_manifest,
+    url_mapper,
+    walk_manifest,
+)
 
 TESTSUITE = Path("/root/reference/testsuite")
 SERD_URL = "http://drobilla.net/sw/serd/test"
@@ -16,19 +21,6 @@ SERD_URL = "http://drobilla.net/sw/serd/test"
 needs_reference = pytest.mark.skipif(
     not TESTSUITE.exists(), reason="reference testsuite not vendored"
 )
-
-# entries the repo intentionally diverges on, with the reason; mirrors the
-# reference's own commented-out skip entries (these are IN the serd bad
-# manifest but rio itself also accepts/relaxes some of them)
-SKIP = {
-    # expat (XML Namespaces-conformant) rejects the QName `foo:` with an
-    # empty local part that this test uses; the reference's XML reader is
-    # lenient there. The behavior under test (langtag lowercasing) is still
-    # covered by the .ttl variant in the same manifest. Same exclusion as
-    # rio_spark/testing/corpus.py.
-    "http://rio.test/manifest.ttl#language_normalization_xml":
-        "empty-local-part QName rejected by expat",
-}
 
 
 @needs_reference

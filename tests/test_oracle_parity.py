@@ -2,19 +2,13 @@
 Spark AND its DuckDB oracle at sf0.001, compare row count, column names, and
 order-insensitive values (floats rounded in the queries themselves)."""
 
-import math
-
 import duckdb
-import pandas as pd
 import pytest
 
 from rio_spark.plans.catalog import ORACLES, QUERIES
+from rio_spark.testing.parity import TABLES, canon
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
 
 
 @pytest.fixture(scope="module")
@@ -23,22 +17,6 @@ def duck():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
-
-
-def canon(df: pd.DataFrame) -> list[tuple]:
-    df = df.reindex(sorted(df.columns), axis=1)
-    rows = []
-    for row in df.itertuples(index=False):
-        out = []
-        for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                out.append(None)
-            elif isinstance(v, float):
-                out.append(round(v, 9))
-            else:
-                out.append(v)
-        rows.append(tuple(out))
-    return sorted(rows, key=repr)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
