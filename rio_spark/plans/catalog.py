@@ -1569,8 +1569,9 @@ def q_streaming_sessions(spark, sf_dir) -> DataFrame:
     """Streaming gap-based session windows (built-in session_window) replayed
     over the events table; timestamps truncated to seconds FIRST so the
     merge boundary is reproducible in the epoch-second oracle (raw event ts
-    carry sub-second precision). Session end = last event + gap (Spark
-    session_window semantics; new session iff gap >= 30 min)."""
+    carry sub-second precision). Session end = last event + gap; an event at
+    EXACTLY prev + gap still merges — Spark splits only when the gap is
+    STRICTLY greater (verified against a real 1800s gap at sf0.1)."""
     from rio_spark.streaming.windows import read_event_stream, session_windows_stream
 
     ev = read_event_stream(spark, sf_dir, glob="events.parquet").withColumn(
@@ -1590,8 +1591,10 @@ ORACLE_STREAMING_SESSIONS = """
 WITH base AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value FROM events
 ), s AS (
+  -- STRICTLY greater: session_window merges an event landing exactly at
+  -- last + gap (sf0.1 has such a gap; >= split one session too many)
   SELECT *,
-         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 1800
+         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM base WINDOW w AS (PARTITION BY user_id ORDER BY e)
 ), s2 AS (
