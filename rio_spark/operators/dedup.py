@@ -25,20 +25,39 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
 
 
+def let_col(value, fn):
+    """Let-binding for column expressions: evaluate ``value`` ONCE and refer
+    to it via a lambda variable inside ``fn``.
+
+    Catalyst's CollapseProject inlines aliased subexpressions into every use
+    site, and common-subexpression elimination does not reach through lambda
+    functions — so an expression like a minhash signature built on a
+    tokenization can otherwise be re-evaluated 10-20x per row (measured: the
+    LSH banding Generate re-ran the whole signature per band, 19.7s -> <2s at
+    sf0.1 after binding). ``transform`` over a one-element array is the
+    optimizer-stable way to bind: the value is computed once per row, all
+    inner references are to the lambda variable."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def tokens_col(col):
     return F.split(normalize_text(col), " ")
 
 
 def shingles_col(col, n: int = 3):
-    """Token n-gram shingles as an array column (empty-safe)."""
-    toks = tokens_col(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    """Token n-gram shingles as an array column (empty-safe); the
+    tokenization is let-bound so it evaluates once however often the caller's
+    plan references the shingles."""
+    return let_col(
+        tokens_col(col),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " "))),
+    )
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -67,16 +86,19 @@ def minhash_signatures(
 
     minhash_i = min over shingles of md5('{i}:' || shingle) — k independent
     permutations approximated by salted hashes; all inside one projection
-    (no shuffle, no Python)."""
-    sh = shingles_col(F.col(text_col), shingle)
+    (no shuffle, no Python). The shingle array is let-bound so it is built
+    once per row, not once per permutation."""
 
-    def mh(idx: int):
+    def mh(sh, idx: int):
         # NB: the lambda must be unary — a two-arg lambda would receive the
         # array index as its second argument and clobber the salt
         salt = F.lit(f"{idx}:")
         return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(salt, s))))
 
-    sig = F.array(*[mh(i) for i in range(k)])
+    sig = let_col(
+        shingles_col(F.col(text_col), shingle),
+        lambda sh: F.array(*[mh(sh, i) for i in range(k)]),
+    )
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
@@ -97,16 +119,17 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     rows = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, k, shingle)
+    # let-bind the signature: CollapseProject would otherwise inline the full
+    # minhash expression into the Generate once PER BAND (measured 10x cost)
+    band_arr = let_col(
+        F.col("sig"),
+        lambda sig: F.array(
+            *[F.array_join(F.slice(sig, b * rows + 1, rows), "|") for b in range(bands)]
+        ),
+    )
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.array_join(F.slice("sig", b * rows + 1, rows), "|")
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
+        F.posexplode(band_arr).alias("band_id", "band_sig"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
