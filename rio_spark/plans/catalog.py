@@ -1462,6 +1462,51 @@ def q_streaming_tumbling(spark, sf_dir) -> DataFrame:
 ORACLE_STREAMING_TUMBLING = ORACLE_EVENTS_TUMBLING
 
 
+E_NS = "http://kg.example/e/"
+
+
+def q_kg_pipeline_e2e(spark, sf_dir) -> DataFrame:
+    """The per-group body of run_pipeline as ONE chained oracle-checked plan:
+    turn stream -> salted assembly -> NT kernel extraction -> owl:sameAs
+    connected-components canonicalization -> quad-set dedup (store/MERGE step
+    excluded — materialization is pinned by the pipeline CLI + resume tests).
+    Entities are zero-padded so the component minimum is the group leader."""
+    from rio_spark.operators.canonicalize import canonicalize
+    from rio_spark.operators.extract import dedup_triples
+
+    docs = _documents(spark, sf_dir)
+    doc_id = F.col("doc_id").cast("string")
+    ent = F.concat(F.lit(f"<{E_NS}"), F.lpad(doc_id, 6, "0"), F.lit(">"))
+    leader = F.concat(
+        F.lit(f"<{E_NS}"),
+        F.lpad((F.col("doc_id") - F.col("doc_id") % 5).cast("string"), 6, "0"),
+        F.lit(">"),
+    )
+    l_lang = F.concat(ent, F.lit(f' <{P_NS}lang> "'), F.col("lang"), F.lit('" .'))
+    l_same = F.concat(ent, F.lit(" <http://www.w3.org/2002/07/owl#sameAs> "),
+                      leader, F.lit(" ."))
+    turns = docs.select(
+        doc_id.alias("conv_id"),
+        F.posexplode(F.array(l_same, l_lang)).alias("rev_idx", "text"),
+    ).select("conv_id", (F.lit(1) - F.col("rev_idx")).alias("turn_idx"), "text")
+    assembled = assemble_documents_salted(turns)
+    triples = triples_of(extract_triples(assembled, fmt="nt"))
+    out = dedup_triples(canonicalize(triples))
+    return out.select("subject", "predicate", "object")
+
+
+ORACLE_KG_PIPELINE_E2E = f"""
+-- after alias-merge every entity collapses onto its zero-padded group
+-- leader; sameAs rows become self-loops and are dropped; the quad-set dedup
+-- collapses same-lang documents within a group
+SELECT DISTINCT
+       '<{E_NS}' || lpad(CAST(doc_id - doc_id % 5 AS VARCHAR), 6, '0') || '>' AS subject,
+       '<{P_NS}lang>' AS predicate,
+       '"' || lang || '"' AS object
+FROM documents
+"""
+
+
 def q_text_bpe_tokens(spark, sf_dir) -> DataFrame:
     """BPE-ish token budgeting: regex pre-tokenizer + ceil(len/4) subword
     estimate, all column ops (whole-stage codegen)."""
@@ -1762,6 +1807,7 @@ QUERIES = {
     "kg_connected_components": q_kg_connected_components,
     "kg_cc_skewed": q_kg_cc_skewed,
     "kg_canonicalize": q_kg_canonicalize,
+    "kg_pipeline_e2e": q_kg_pipeline_e2e,
     "kg_entity_linking": q_kg_entity_linking,
     "kg_link_blocked": q_kg_link_blocked,
     "kg_extract_nquads": q_kg_extract_nquads,
@@ -1823,6 +1869,7 @@ ORACLES = {
     "kg_connected_components": ORACLE_KG_CONNECTED_COMPONENTS,
     "kg_cc_skewed": ORACLE_KG_CC_SKEWED,
     "kg_canonicalize": ORACLE_KG_CANONICALIZE,
+    "kg_pipeline_e2e": ORACLE_KG_PIPELINE_E2E,
     "kg_entity_linking": ORACLE_KG_ENTITY_LINKING,
     "kg_link_blocked": ORACLE_KG_ENTITY_LINKING,
     "kg_extract_nquads": ORACLE_KG_EXTRACT_NQUADS,
