@@ -949,6 +949,24 @@ FROM lineitem GROUP BY l_returnflag
 # ---------------------------------------------------------------------------
 
 G_NS = "http://ex.org/g/"
+E_NS = "http://kg.example/e/"
+
+
+def _entity_and_leader():
+    """Zero-padded entity IRI + its alias-group leader (doc_id - doc_id % 5)
+    as column expressions — shared by the canonicalization queries so the
+    namespace/padding can never drift between a query and its oracle."""
+    doc_id = F.col("doc_id").cast("string")
+    ent = F.concat(F.lit(f"<{E_NS}"), F.lpad(doc_id, 6, "0"), F.lit(">"))
+    leader = F.concat(
+        F.lit(f"<{E_NS}"),
+        F.lpad((F.col("doc_id") - F.col("doc_id") % 5).cast("string"), 6, "0"),
+        F.lit(">"),
+    )
+    return ent, leader
+
+
+_LEADER_SQL = f"'<{E_NS}' || lpad(CAST(doc_id - doc_id % 5 AS VARCHAR), 6, '0') || '>'"
 
 
 def q_kg_extract_nquads(spark, sf_dir) -> DataFrame:
@@ -1462,9 +1480,6 @@ def q_streaming_tumbling(spark, sf_dir) -> DataFrame:
 ORACLE_STREAMING_TUMBLING = ORACLE_EVENTS_TUMBLING
 
 
-E_NS = "http://kg.example/e/"
-
-
 def q_kg_pipeline_e2e(spark, sf_dir) -> DataFrame:
     """The per-group body of run_pipeline as ONE chained oracle-checked plan:
     turn stream -> salted assembly -> NT kernel extraction -> owl:sameAs
@@ -1476,12 +1491,7 @@ def q_kg_pipeline_e2e(spark, sf_dir) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     doc_id = F.col("doc_id").cast("string")
-    ent = F.concat(F.lit(f"<{E_NS}"), F.lpad(doc_id, 6, "0"), F.lit(">"))
-    leader = F.concat(
-        F.lit(f"<{E_NS}"),
-        F.lpad((F.col("doc_id") - F.col("doc_id") % 5).cast("string"), 6, "0"),
-        F.lit(">"),
-    )
+    ent, leader = _entity_and_leader()
     l_lang = F.concat(ent, F.lit(f' <{P_NS}lang> "'), F.col("lang"), F.lit('" .'))
     l_same = F.concat(ent, F.lit(" <http://www.w3.org/2002/07/owl#sameAs> "),
                       leader, F.lit(" ."))
@@ -1500,7 +1510,7 @@ ORACLE_KG_PIPELINE_E2E = f"""
 -- leader; sameAs rows become self-loops and are dropped; the quad-set dedup
 -- collapses same-lang documents within a group
 SELECT DISTINCT
-       '<{E_NS}' || lpad(CAST(doc_id - doc_id % 5 AS VARCHAR), 6, '0') || '>' AS subject,
+       {_LEADER_SQL} AS subject,
        '<{P_NS}lang>' AS predicate,
        '"' || lang || '"' AS object
 FROM documents
@@ -1767,11 +1777,7 @@ def q_kg_canonicalize(spark, sf_dir) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     doc_id = F.col("doc_id").cast("string")
-    ent = F.concat(F.lit("<http://kg.example/e/"),
-                   F.lpad(doc_id, 6, "0"), F.lit(">"))
-    leader = F.concat(F.lit("<http://kg.example/e/"),
-                      F.lpad((F.col("doc_id") - F.col("doc_id") % 5).cast("string"), 6, "0"),
-                      F.lit(">"))
+    ent, leader = _entity_and_leader()
     null_g = F.lit(None).cast("string").alias("graph")
     facts = docs.select(
         doc_id.alias("doc_id"), ent.alias("subject"),
@@ -1789,8 +1795,7 @@ def q_kg_canonicalize(spark, sf_dir) -> DataFrame:
 
 ORACLE_KG_CANONICALIZE = f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-       '<http://kg.example/e/'
-         || lpad(CAST(doc_id - doc_id % 5 AS VARCHAR), 6, '0') || '>' AS subject,
+       {_LEADER_SQL} AS subject,
        '<{P_NS}lang>' AS predicate,
        '"' || lang || '"' AS object
 FROM documents

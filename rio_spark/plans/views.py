@@ -7,10 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from rio_spark.testing.parity import TABLES
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
