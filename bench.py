@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "kg_assembly",
     "kg_entity_linking",
     "kg_connected_components",
+    "kg_pipeline_e2e",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

@@ -1500,7 +1500,9 @@ def q_kg_pipeline_e2e(spark, sf_dir) -> DataFrame:
         F.posexplode(F.array(l_same, l_lang)).alias("rev_idx", "text"),
     ).select("conv_id", (F.lit(1) - F.col("rev_idx")).alias("turn_idx"), "text")
     assembled = assemble_documents_salted(turns)
-    triples = triples_of(extract_triples(assembled, fmt="nt"))
+    # canonicalize consumes the triples three times (alias edges + the two
+    # rewrite joins); cache so the Python extraction stage runs once
+    triples = triples_of(extract_triples(assembled, fmt="nt")).cache()
     out = dedup_triples(canonicalize(triples))
     return out.select("subject", "predicate", "object")
 
