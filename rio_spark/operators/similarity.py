@@ -187,18 +187,59 @@ def ivf_cells(
     )
 
 
-def _cell_expr(vec_col: str, centroids: list[list[float]], round_to: int = 6):
-    """Nearest-centroid index as a pure column expression (see ivf_cells)."""
+def _cell_expr(vec_col: str, centroids: list[list[float]], round_to: int = 6,
+               labels: list[int] | None = None):
+    """Nearest-centroid index as a pure column expression (see ivf_cells).
+    ``labels`` relabels the argmin output (used after k-means refinement
+    drops empty cells, keeping original cell ids stable)."""
+    if labels is None:
+        labels = list(range(len(centroids)))
     v = F.col(vec_col).cast("array<double>")
     scored = F.array(*[
         F.struct(
             F.round(_l2sq(v, sum(x * x for x in c), F.array(*[F.lit(x) for x in c])),
                     round_to).alias("d"),
-            F.lit(i).alias("cell"),
+            F.lit(int(lab)).alias("cell"),
         )
-        for i, c in enumerate(centroids)
+        for lab, c in zip(labels, centroids)
     ])
     return F.array_min(scored)["cell"]
+
+
+def kmeans_refine(
+    embeddings: DataFrame, centroids: list[list[float]], iters: int = 1,
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[list[float]]]:
+    """Lloyd refinement of IVF centroids, fully distributed: assign cells
+    with the current centroids (column expression), then per-(cell, dim)
+    AVG via posexplode + groupBy — map-side combinable, one shuffle per
+    iteration; only n_centroids x dim values ever reach the driver.
+    Cells that lose all members are DROPPED (same as the SQL oracle's
+    group-by); returns (surviving original cell ids, refined centroids)."""
+    labels = list(range(len(centroids)))
+    for _ in range(iters):
+        cell = _cell_expr(vec_col, centroids, labels=labels)
+        # two selects: putting the struct-field argmin and the posexplode in
+        # ONE select trips Spark's generator extraction (struct aliases are
+        # lost mid-rewrite -> FIELD_NOT_FOUND); analysis is per-select, the
+        # optimizer merges them after resolution
+        assigned = embeddings.select(
+            cell.alias("cell"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        dims = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+        )
+        rows = (
+            dims.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dm"))
+            .collect()
+        )
+        by_cell = {r["cell"]: [d["m"] for d in r["dm"]] for r in rows}
+        labels = sorted(by_cell)
+        centroids = [by_cell[c] for c in labels]
+    return labels, centroids
 
 
 def ivf_topk(

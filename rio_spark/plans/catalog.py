@@ -1379,6 +1379,55 @@ GROUP BY 1
 """
 
 
+def q_sim_ivf_refined(spark, sf_dir) -> DataFrame:
+    """IVF with ONE k-means (Lloyd) refinement iteration: seed centroids ->
+    distributed per-(cell, dim) mean -> refined-cell histogram. The refined
+    partition layout is visibly more balanced than the seed one
+    (sim_ivf_cells) — the property an IVF index shuffles by at scale."""
+    from rio_spark.operators.similarity import (
+        _cell_expr,
+        collect_planes,
+        kmeans_refine,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    labels, cents = kmeans_refine(emb, collect_planes(emb, 8), iters=1)
+    return (
+        emb.select(_cell_expr("embedding", cents, labels=labels).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_SIM_IVF_REFINED = f"""
+WITH p AS ({_CENTROIDS8_SQL}),
+cells AS (
+  SELECT e.vec_id, e.embedding, CAST({_IVF_CELL_SQL} AS INT) AS cell
+  FROM embeddings e, p
+),
+dims AS (
+  SELECT cell, i, avg(x) AS m FROM (
+    SELECT cell, unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding::DOUBLE[], 1) AS i
+    FROM cells
+  ) GROUP BY cell, i
+),
+refined AS (SELECT cell, list(m ORDER BY i) AS c FROM dims GROUP BY cell),
+d2 AS (
+  SELECT e.vec_id, r.cell,
+         round(-2 * list_dot_product(e.embedding::DOUBLE[], r.c)
+               + list_dot_product(r.c, r.c), 6) AS d
+  FROM embeddings e, refined r
+),
+assigned AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM d2
+)
+SELECT cell, count(*) AS n FROM assigned WHERE rn = 1 GROUP BY cell
+"""
+
+
 def q_sim_ivf_topk(spark, sf_dir) -> DataFrame:
     """IVF-flat ANN: nprobe=2 nearest cells to the query, exact cosine top-k
     inside them only — candidates are a FILTER on the cell expression."""
@@ -1842,6 +1891,7 @@ QUERIES = {
     "sim_ann_topk": q_sim_ann_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_ivf_cells": q_sim_ivf_cells,
+    "sim_ivf_refined": q_sim_ivf_refined,
     "sim_ivf_topk": q_sim_ivf_topk,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1904,6 +1954,7 @@ ORACLES = {
     "sim_ann_topk": ORACLE_SIM_ANN_TOPK,
     "sim_lsh_buckets": ORACLE_SIM_LSH_BUCKETS,
     "sim_ivf_cells": ORACLE_SIM_IVF_CELLS,
+    "sim_ivf_refined": ORACLE_SIM_IVF_REFINED,
     "sim_ivf_topk": ORACLE_SIM_IVF_TOPK,
     "tpch_q1": ORACLE_TPCH_Q1,
     "tpch_q3": ORACLE_TPCH_Q3,
