@@ -228,17 +228,18 @@ from rio_spark.kernels.shared import is_pn_chars, is_pn_chars_u
 def _parse_generalized_term(s: str, i: int, line: int) -> tuple:
     c = s[i]
     if c in "?$":
-        # variable name chars per the reference's parse_variable
-        # (gnquads.rs:187-222): PN_CHARS_U | digit first, then
-        # PN_CHARS_U | digit | U+00B7 (note: '-' does NOT continue a name)
+        # variable name chars per the reference's OBSERVABLE parse_variable
+        # behavior (gnquads.rs:187-222): PN_CHARS_U | digit first, then
+        # PN_CHARS_U | digit ('-' does NOT continue a name; neither does
+        # U+00B7 — the reference's 0xb7 arm is dead code under its ASCII
+        # guard and its unicode class excludes it, so names stop there)
         j = i + 1
         n = len(s)
         if j >= n or not (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())):
             raise ParseError("InvalidVariable", "bad variable name", line, i)
         start = j
         j += 1
-        while j < n and (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())
-                         or s[j] == "·"):
+        while j < n and (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())):
             j += 1
         return "?" + s[start:j], j
     if c == "<":

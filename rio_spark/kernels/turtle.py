@@ -445,15 +445,18 @@ class _Parser:
 
     def parse_variable(self) -> str:
         """``?name`` / ``$name`` -> canonical ``?name``. Name chars follow the
-        reference's parse_variable (gnquads.rs:187-222): PN_CHARS_U | digit
-        first, then PN_CHARS_U | digit | U+00B7 (no '-')."""
+        reference's OBSERVABLE parse_variable behavior (gnquads.rs:187-222):
+        PN_CHARS_U | digit first, then PN_CHARS_U | digit (no '-'). The
+        grammar text also lists U+00B7 as a continuation char, but the
+        reference's ``c == 0xb7`` arm is dead code under its ``c <= MAX_ASCII``
+        guard and its unicode class excludes U+00B7 — so ``?a·b`` terminates
+        at the middle dot there, and we match that."""
         s, n = self.s, self.n
         i = self.i + 1
         if i >= n or not (is_pn_chars_u(s[i]) or (s[i].isdigit() and s[i].isascii())):
             raise self.err("InvalidVariable", "bad variable name")
         j = i + 1
-        while j < n and (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())
-                         or s[j] == "·"):
+        while j < n and (is_pn_chars_u(s[j]) or (s[j].isdigit() and s[j].isascii())):
             j += 1
         self.i = j
         return "?" + s[i:j]

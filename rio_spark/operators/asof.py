@@ -37,8 +37,19 @@ def asof_join(
     """
     if payload is None:
         payload = [c for c in right.columns if c not in (on, ts)]
-    tb_l = F.col(tiebreak) if tiebreak and tiebreak in left.columns else F.lit(0)
-    tb_r = F.col(tiebreak) if tiebreak else F.lit(0)
+    # the left fallback must carry the RIGHT side's tiebreak dtype: a bare
+    # int literal would make the union's _tb column mismatch (analysis error)
+    # whenever the tiebreak column is e.g. a string event id. NULL sorts
+    # first under asc, so left rows stay tie-neutral.
+    if tiebreak:
+        tb_r = F.col(tiebreak)
+        tb_l = (
+            F.col(tiebreak)
+            if tiebreak in left.columns
+            else F.lit(None).cast(right.schema[tiebreak].dataType)
+        )
+    else:
+        tb_l = tb_r = F.lit(0)
     # the right payload travels as ONE struct (null for left rows) and the
     # window fills THE STRUCT, never per-column: per-column fills would mix
     # fields from different right rows whenever a payload column is null

@@ -215,7 +215,11 @@ def kmeans_refine(
     AVG via posexplode + groupBy — map-side combinable, one shuffle per
     iteration; only n_centroids x dim values ever reach the driver.
     Cells that lose all members are DROPPED (same as the SQL oracle's
-    group-by); returns (surviving original cell ids, refined centroids)."""
+    group-by); returns (surviving original cell ids, refined centroids).
+    Refined centroid components are rounded to 6 decimals so the DISTANCE
+    INPUTS are bit-identical across engines — a near-tie vector can't flip
+    cells on a last-ulp difference between Spark's and an oracle's float
+    averaging (the downstream distance rounding alone can't absorb that)."""
     labels = list(range(len(centroids)))
     for _ in range(iters):
         cell = _cell_expr(vec_col, centroids, labels=labels)
@@ -229,7 +233,7 @@ def kmeans_refine(
         dims = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
         )
         rows = (
             dims.groupBy("cell")
