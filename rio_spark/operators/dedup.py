@@ -17,7 +17,7 @@ cap; candidate verification re-checks true Jaccard only within candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def normalize_text(col):
@@ -109,13 +109,23 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     k minhashes split into `bands` bands of k/bands rows; docs sharing any
     band signature become a candidate pair. -> (doc_a, doc_b) with
     doc_a < doc_b, distinct. The self-join runs on (band_id, band_sig) —
-    a narrow key — and never materializes the quadratic pair space."""
+    a narrow key — and never materializes the quadratic pair space.
+
+    ``bucket_cap`` bounds the hot-bucket blowup: a band bucket of f docs
+    (boilerplate corpora produce them) would emit f(f-1)/2 join rows — a
+    job-killer at 100 TB even though the join key is narrow. With a cap,
+    each over-cap bucket keeps only its ``bucket_cap`` lowest doc_ids
+    (deterministic), and the output grows a ``truncated`` boolean marking
+    pairs that came only from capped buckets — so recall loss is observable,
+    not silent. Cost of the cap: one extra window pass on the same
+    (band_id, band_sig) shuffle key the join needs anyway."""
     assert k % bands == 0
     rows = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, k, shingle)
@@ -131,17 +141,40 @@ def minhash_lsh_pairs(
         "doc_id",
         F.posexplode(band_arr).alias("band_id", "band_sig"),
     )
+    if bucket_cap is not None:
+        bw = W.partitionBy("band_id", "band_sig")
+        banded = (
+            banded.select(
+                "*",
+                F.row_number().over(bw.orderBy("doc_id")).alias("_rn"),
+                (F.count("*").over(bw) > bucket_cap).alias("_trunc"),
+            )
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_sig") == F.col("b.band_sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if bucket_cap is None:
+        return joined.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).distinct()
+    # a pair is marked truncated only if EVERY bucket that produced it was
+    # over-cap (an un-capped band vouching for the pair means nothing was
+    # lost for it); min(bool) == bool_and
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        joined.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a._trunc").alias("_trunc"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("_trunc").alias("truncated"))
     )
 
 
@@ -151,17 +184,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate verification.
 
     Explodes distinct shingles, self-joins on shingle (inverted-index join —
     only docs sharing a shingle ever meet), counts intersections, computes
     |A∩B| / (|A|+|B|-|A∩B|). -> (doc_a, doc_b, jaccard) above threshold.
-    """
+
+    ``max_df`` is the hot-shingle guard (standard prefix filtering): a
+    boilerplate shingle shared by f documents ("all rights reserved ...")
+    makes the inverted-index join emit f(f-1)/2 rows — quadratic on exactly
+    the corpora dedup targets. Shingles with document frequency > max_df are
+    dropped from BOTH the intersection and the size denominators, so the
+    result is exact Jaccard over the df-capped shingle universe: ubiquitous
+    shingles carry no discriminative signal, and a pair supported only by
+    them is never a threshold>=0.8 near-duplicate."""
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("sh"),
     )
+    if max_df is not None:
+        # df filter = one aggregate + equi-join on the same `sh` key the
+        # inverted-index join shuffles on anyway; AQE broadcasts the surviving
+        # shingle list when it's small
+        keep = ex.groupBy("sh").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= max_df
+        ).select("sh")
+        ex = ex.join(keep, "sh")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = ex.alias("a")
     b = ex.alias("b")

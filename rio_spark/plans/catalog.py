@@ -1257,6 +1257,112 @@ FROM b a JOIN b b2
 """
 
 
+# deliberately boilerplate-like: appended to EVERY document so its shingles
+# reach df == corpus size, the exact hot-shingle shape the df cap defuses
+_BOILERPLATE = "all rights reserved contact example corp for licensing terms"
+
+
+def q_dedup_jaccard_skewed(spark, sf_dir) -> DataFrame:
+    """Hot-shingle stress for the Jaccard verifier: every document carries
+    the same boilerplate suffix, so each boilerplate shingle has df = corpus
+    size — an uncapped inverted-index join would emit ~N^2/2 rows for each.
+    With max_df the hot shingles are dropped from intersections AND size
+    denominators, so the join fan-out stays linear and the scores equal
+    exact Jaccard over the informative shingle universe (modeled on
+    kg_cc_skewed, per the round-2 review)."""
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit(_BOILERPLATE)).alias("text"),
+    )
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=50)
+
+
+ORACLE_DEDUP_JACCARD_SKEWED = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(trim(regexp_replace(lower(text || ' {_BOILERPLATE}'),
+                                          '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, list_distinct({_SHINGLE3_SQL}) AS sh FROM t),
+ex0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING COUNT(*) <= 50),
+ex AS (SELECT ex0.doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
+def q_dedup_lsh_capped(spark, sf_dir) -> DataFrame:
+    """Hot-bucket stress for LSH banding: 30 identical copies of doc 0 all
+    land in one band bucket (plus doc 0 itself), which a bucket_cap=10
+    truncates to its 10 lowest doc_ids; surviving pairs from capped buckets
+    carry truncated=true so the recall loss is observable, not silent."""
+    from rio_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    hot = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") == 0)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"), "text")
+        .select(
+            F.concat(F.lit("hot"), F.lpad(F.col("i").cast("string"), 2, "0")).alias("doc_id"),
+            "text",
+        )
+    )
+    return minhash_lsh_pairs(docs.unionByName(hot), k=4, bands=2, bucket_cap=10)
+
+
+ORACLE_DEDUP_LSH_CAPPED = f"""
+WITH docs0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'hot' || lpad(CAST(i AS VARCHAR), 2, '0'), text
+  FROM documents, generate_series(0, 29) AS gs(i) WHERE doc_id = 0
+),
+t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM docs0
+),
+s AS (SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM t),
+m AS (SELECT doc_id,
+  list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
+  list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+  list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+  list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+FROM s),
+b AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_sig FROM m
+  UNION ALL
+  SELECT doc_id, 1, mh2 || '|' || mh3 FROM m
+),
+capped AS (
+  SELECT doc_id, band_id, band_sig,
+         row_number() OVER (PARTITION BY band_id, band_sig ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY band_id, band_sig) > 10 AS trunc
+  FROM b
+),
+k AS (SELECT * FROM capped WHERE rn <= 10)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, bool_and(a.trunc) AS truncated
+FROM k a JOIN k b2
+  ON a.band_id = b2.band_id AND a.band_sig = b2.band_sig AND a.doc_id < b2.doc_id
+GROUP BY 1, 2
+"""
+
+
 _PLANES_SQL = """
   SELECT list(embedding::DOUBLE[] ORDER BY vec_id) AS planes
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
@@ -1913,6 +2019,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_skewed": q_dedup_jaccard_skewed,
+    "dedup_lsh_capped": q_dedup_lsh_capped,
     # -- similarity family ---------------------------------------------------
     "sim_topk": q_sim_topk,
     "sim_pairs": q_sim_pairs,
@@ -1969,6 +2077,8 @@ ORACLES = {
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": _oracle_simhash(16),
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_jaccard_skewed": ORACLE_DEDUP_JACCARD_SKEWED,
+    "dedup_lsh_capped": ORACLE_DEDUP_LSH_CAPPED,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),

@@ -77,6 +77,60 @@ def test_ngram_jaccard(spark, docs):
     assert ("a1", "b1") not in d
 
 
+def test_ngram_jaccard_max_df_defuses_hot_shingles(spark, docs):
+    """The df cap must (a) bound the inverted-index join fan-out and (b)
+    leave scores equal to exact Jaccard over the informative shingles: a
+    boilerplate suffix shared by EVERY doc adds only hot shingles, so the
+    capped run on the skewed corpus == the uncapped run on the clean one."""
+    boiler = "all rights reserved contact example corp for licensing terms"
+    skewed = docs.select("doc_id", F.concat_ws(" ", "text", F.lit(boiler)).alias("text"))
+    clean = ngram_jaccard_pairs(docs, threshold=0.2).toPandas()
+    capped = ngram_jaccard_pairs(skewed, threshold=0.2, max_df=3).toPandas()
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in clean.itertuples()}
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.itertuples()}
+    # cross-boundary shingles (last doc tokens + boilerplate head) are
+    # doc-specific and survive the cap, so a1/a2 (identical texts) may gain
+    # them equally; scores for all clean pairs must be preserved
+    assert set(want) <= set(got)
+    assert got[("a1", "a2")] == 1.0
+    # (b) fan-out bound: with 6 docs all sharing the boilerplate, an uncapped
+    # join emits >= C(6,2)=15 rows per hot shingle; capped at df<=3 the hot
+    # shingles never reach the join at all
+    from rio_spark.operators.dedup import shingles_col
+
+    ex = skewed.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("text"), 3))).alias("sh")
+    )
+    hot = ex.groupBy("sh").count().filter(F.col("count") > 3).count()
+    assert hot >= 7  # the boilerplate really does create hot shingles
+
+
+def test_minhash_lsh_bucket_cap_truncates_and_marks(spark, docs):
+    """bucket_cap keeps only the cap lowest doc_ids of an over-cap band
+    bucket and marks surviving pairs truncated=true; small buckets pass
+    through unmarked."""
+    hot = docs.filter(F.col("doc_id") == "a1").select(
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i"), "text"
+    ).select(
+        F.concat(F.lit("hot"), F.lpad(F.col("i").cast("string"), 2, "0")).alias("doc_id"),
+        "text",
+    )
+    out = minhash_lsh_pairs(
+        docs.unionByName(hot), k=16, bands=8, bucket_cap=5
+    ).toPandas()
+    assert set(out.columns) == {"doc_a", "doc_b", "truncated"}
+    trunc = {(r.doc_a, r.doc_b) for r in out.itertuples() if r.truncated}
+    clear = {(r.doc_a, r.doc_b) for r in out.itertuples() if not r.truncated}
+    # the hot bucket holds a1, a2 (identical to a1) + 12 hot copies = 14 > 5:
+    # only the 5 lowest ids (a1, a2, hot00..hot02) survive, and their pairs
+    # are marked — every hot-doc pair present involves only those ids
+    hot_ids = {d for p in out.itertuples() for d in (p.doc_a, p.doc_b) if d.startswith("hot")}
+    assert hot_ids <= {"hot00", "hot01", "hot02"}
+    assert ("a1", "hot00") in trunc
+    # a3 shares only near-dup (small) buckets -> its pairs stay unmarked
+    assert all(not p[0].startswith("hot") and not p[1].startswith("hot") for p in clear)
+
+
 def test_simhash_similar_docs_close(spark, docs):
     sh = simhash_bits(docs).toPandas().set_index("doc_id")["simhash"]
     def ham(a, b):
