@@ -72,9 +72,14 @@ def connected_components(
     # duplicate edges, so correctness is unchanged; ONE distinct per round
     # (below) canonicalizes the edge set for the convergence signature. This
     # halves the shuffles per round (measured ~2x faster at small scale where
-    # fixed per-stage cost dominates).
+    # fixed per-stage cost dominates). (Chaining TWO star rounds between
+    # distincts was tried and is ~5x SLOWER: without the distinct the edge
+    # multiset from the first round's re-emits multiplies through the second
+    # round's join.)
     # fixpoint: stop when the edge set stops changing (count + order-free
-    # content hash — one cheap aggregate per round, converges in O(log n))
+    # content hash). The signature aggregate IS the materializing action for
+    # the round's LAZY localCheckpoint — one driver job per round where an
+    # eager checkpoint plus a separate aggregate used to take two.
     prev_sig = None
     for _ in range(max_iter):
         # each star step references its input twice (groupBy + join re-emit);
@@ -82,12 +87,12 @@ def connected_components(
         # the large-star DAG twice — measured ~1.7x faster rounds (cache
         # spills to disk at scale; freed right after the round materializes)
         ls = large_star(e).cache()
-        e = small_star(ls).distinct().localCheckpoint(eager=True)
-        ls.unpersist()
+        e = small_star(ls).distinct().localCheckpoint(eager=False)
         row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free under ANSI
         ).first()
+        ls.unpersist()
         sig = (row["n"], row["h"])
         if sig == prev_sig:
             break
