@@ -78,6 +78,17 @@ _FAST_STMT_RE = re.compile(
     rf"(?P<o>{_F_IRI}|{_F_BNODE}|{_F_STRING}|true|false|{_F_NUM}|{_F_PNAME})"
     rf"[ \t]*\.(?=[ \t\r\n#]|$)"
 )
+# single-object fast path for the slow-path descent (object lists `o1, o2,
+# ...` and pred-obj lists are where the statement fast path can't fire — a
+# 10k-object list otherwise pays the full grammar per object). The lookahead
+# pins the token boundary to a legal follower; anything else (annotations
+# `{|`, escapes, datatypes, sugar) falls back to the full grammar — false
+# negatives only, same contract as _FAST_STMT_RE. Maximal-munch dots inside
+# PNAME/bnode tokens are rejected by _fast_term (trailing-dot backoff).
+_FAST_OBJ_RE = re.compile(
+    rf"(?P<o>{_F_IRI}|{_F_BNODE}|{_F_STRING}|true|false|{_F_NUM}|{_F_PNAME})"
+    rf"(?=[ \t\r\n,;.\])}}#]|$)"
+)
 _F_BNODE_FIRST_RE = re.compile(f"[{PN_CHARS_U_CLASS}0-9]")
 
 
@@ -509,6 +520,12 @@ class _Parser:
     def parse_object(self, allow_sugar: bool = True) -> Term:
         if self.generalized:
             return self.parse_generalized_node() if allow_sugar else self.parse_generalized_term()
+        m = _FAST_OBJ_RE.match(self.s, self.i)
+        if m is not None:
+            t = self._fast_term(m.group("o"), "o")
+            if t is not None:
+                self.i = m.end()
+                return t
         c = self.peek()
         if not c:
             raise self.err("UnexpectedEof", "expected object")
