@@ -46,6 +46,121 @@ BENCH_QUERIES = [
 ]
 
 
+def grid_mode(emit: bool = True) -> dict:
+    """Criterion-mirror cross-grid (reference testsuite/benches/
+    w3c_testsuite.rs:70-83, 269-279): each kernel x each positive corpus
+    format, single-threaded bytes/sec — the apples-to-apples number against
+    the reference's own harness, which times rio parsers over concatenated
+    W3C positive files with Throughput::Bytes. Cross cells (NT data through
+    the Turtle parser, etc.) parse a superset/subset grammar; per-document
+    errors are counted, never raised, matching our error-row model."""
+    from rio_spark.kernels import parse_nquads, parse_ntriples, parse_trig, parse_turtle
+    from rio_spark.testing.corpus import load_corpus
+
+    parsers = {
+        "ntriples": lambda t, b: parse_ntriples(t),
+        "nquads": lambda t, b: parse_nquads(t),
+        "turtle": parse_turtle,
+        "trig": parse_trig,
+    }
+    corpus = load_corpus()
+    datasets: dict[str, list] = {}
+    for fmt in ("nt", "nq", "ttl", "trig"):
+        docs = [d for d in corpus if d.format == fmt and d.kind != "negative_syntax"]
+        datasets[fmt] = [(d.body, d.base_iri) for d in docs]
+
+    # the vendored corpus is Turtle-heavy (serd/rio suites); derive the SAME
+    # logical content as N-Triples / N-Quads / TriG so every grid row times a
+    # real workload — the reference's harness likewise reuses one suite's
+    # content across parsers (w3c_testsuite.rs:269-279)
+    from rio_spark.model import serialize_triples
+
+    nt_lines: list[str] = []
+    for body, base in datasets["ttl"]:
+        triples, errors = parse_turtle(body, base)
+        if not errors:
+            nt_lines.extend(
+                f"{r[0]} {r[1]} {r[2]} ." for r in serialize_triples(triples, scope="g_")
+            )
+    datasets["nt"].append(("\n".join(nt_lines), None))
+    datasets["nq"].append((
+        "\n".join(line[:-1] + "<http://example.org/graph0> ." for line in nt_lines), None
+    ))
+    blocks = [
+        "<http://example.org/graph%d> {\n%s\n}" % (i, "\n".join(nt_lines[i : i + 1000]))
+        for i in range(0, len(nt_lines), 1000)
+    ]
+    datasets["trig"].append(("\n".join(blocks), None))
+
+    # superset-compatible pairs only, mirroring the reference's grid exactly
+    # (w3c_testsuite.rs:269-279): NT data through all four parsers, NQ through
+    # nquads/trig-family, TTL through turtle/trig, TriG through trig — a
+    # parser fed a grammar it rejects aborts at the first statement and times
+    # nothing meaningful
+    compatible = {
+        "ntriples": ("nt",),
+        "nquads": ("nt", "nq"),
+        "turtle": ("nt", "ttl"),
+        "trig": ("nt", "ttl", "trig"),
+    }
+    grid: dict[str, dict] = {}
+    for pname, parser in parsers.items():
+        grid[pname] = {}
+        for fmt in compatible[pname]:
+            docs = datasets[fmt]
+            n_bytes = sum(len(b.encode()) for b, _ in docs)
+            best, n_triples, n_errors = float("inf"), 0, 0
+            for _ in range(4):  # warm + best of 3
+                t0 = time.perf_counter()
+                n_triples = n_errors = 0
+                for body, base in docs:
+                    triples, errors = parser(body, base)
+                    n_triples += len(triples)
+                    n_errors += len(errors)
+                best = min(best, time.perf_counter() - t0)
+            grid[pname][fmt] = {
+                "bytes": n_bytes,
+                "bytes_per_sec": round(n_bytes / best, 1),
+                "triples": n_triples,
+                "error_docs": n_errors,
+                "seconds": round(best, 4),
+            }
+    if emit:
+        print(json.dumps({"metric": "parser_format_grid_bytes_per_sec",
+                          "unit": "bytes/sec", "grid": grid}))
+    return grid
+
+
+def scaling_multiproc_mode() -> None:
+    """Executor-faithful scaling evidence: one 8-core JVM vs FOUR concurrent
+    8-core JVMs (separate heaps/GC/Python pools — what 4 co-located executors
+    are), each running the full throughput job on the same 10k-conv input.
+    Aggregate 4-process throughput vs 4x the single-process number is the
+    4N-executor efficiency this single box can actually evidence."""
+    import subprocess
+
+    def probe(tag):
+        return subprocess.Popen(
+            [sys.executable, "jobs/throughput_probe.py", "8", "10000", "4", tag],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd="/root/repo",
+        )
+
+    single = probe("single8")
+    out_s = json.loads(single.communicate()[0].splitlines()[-1])
+    procs = [probe(f"quad{i}") for i in range(4)]
+    outs = [json.loads(p.communicate()[0].splitlines()[-1]) for p in procs]
+    agg = sum(o["triples_per_sec"] for o in outs)
+    eff = round(agg / out_s["triples_per_sec"] / 4, 3)
+    print(json.dumps({
+        "metric": "scaling_efficiency_1x8_to_4x8_processes",
+        "value": eff,
+        "unit": "ratio",
+        "single_process": out_s,
+        "quad_processes": outs,
+        "aggregate_triples_per_sec": round(agg, 1),
+    }))
+
+
 def scaling_mode() -> None:
     """Reproduce the BENCH/BASELINE.md scaling curve: the same throughput job
     at several local[N] widths, fresh session each, steady-state minima."""
@@ -72,8 +187,14 @@ def scaling_mode() -> None:
 
 
 def main() -> None:
+    if "--scaling-multiproc" in sys.argv:
+        scaling_multiproc_mode()
+        return
     if "--scaling" in sys.argv:
         scaling_mode()
+        return
+    if "--grid" in sys.argv:
+        grid_mode()
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -118,6 +239,9 @@ def main() -> None:
         "bench_total_wall_sec": total,
         "kg_extract_rows_sf_tables": extract_rows,
         "throughput": throughput,
+        # criterion-mirror single-threaded parser x format grid (bytes/sec),
+        # the number comparable to the reference's own bench harness
+        "parser_format_grid": grid_mode(emit=False),
     }
     print(json.dumps(out))
     spark.stop()

@@ -38,6 +38,17 @@ _FAST_LINE = re.compile(
     r'|"([^"\\\n\r]*)"(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^<([^<>"{}|^`\\\x00-\x20]*)>)?'
     r")[ \t]*\.[ \t]*(?:#.*)?$"
 )
+# N-Quads variant: same line shape plus an OPTIONAL trailing graph IRI
+# (bnode graph labels take the slow path — rare)
+_FAST_LINE_NQ = re.compile(
+    r"^[ \t]*<([^<>\"{}|^`\\\x00-\x20]*)>"
+    r"[ \t]+<([^<>\"{}|^`\\\x00-\x20]*)>"
+    r"[ \t]+(?:"
+    r"<([^<>\"{}|^`\\\x00-\x20]*)>"
+    r'|"([^"\\\n\r]*)"(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^<([^<>"{}|^`\\\x00-\x20]*)>)?'
+    r")(?:[ \t]+<([^<>\"{}|^`\\\x00-\x20]*)>)?"
+    r"[ \t]*\.[ \t]*(?:#.*)?$"
+)
 _SCHEME_PROBE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
@@ -170,14 +181,19 @@ def _parse_doc(text: str, quads: bool, star: bool):
         s = raw[:-1] if raw.endswith("\r") else raw
         if not s or s.lstrip(_WS)[:1] in ("", "#"):
             continue
-        m = None if (quads or "\\" in s) else _FAST_LINE.match(s)
+        m = None if "\\" in s else (_FAST_LINE_NQ if quads else _FAST_LINE).match(s)
         if m is not None:
-            sub, pred, obj_iri, lit, lang, dt = m.groups()
+            if quads:
+                sub, pred, obj_iri, lit, lang, dt, graph_iri = m.groups()
+            else:
+                sub, pred, obj_iri, lit, lang, dt = m.groups()
+                graph_iri = None
             if (
                 _SCHEME_PROBE.match(sub)
                 and _SCHEME_PROBE.match(pred)
                 and (obj_iri is None or _SCHEME_PROBE.match(obj_iri))
                 and (dt is None or _SCHEME_PROBE.match(dt))
+                and (graph_iri is None or _SCHEME_PROBE.match(graph_iri))
             ):
                 # BCP-47-validate the language tag here too so acceptance does
                 # not depend on which path a line happens to take (the slow
@@ -193,7 +209,11 @@ def _parse_doc(text: str, quads: bool, star: bool):
                         o: Term = wrap(obj_iri)
                     else:
                         o = encode_literal(lit, norm_lang, dt)
-                    triples.append((wrap(sub), wrap(pred), o))
+                    if quads:
+                        g = wrap(graph_iri) if graph_iri is not None else None
+                        triples.append((wrap(sub), wrap(pred), o, g))
+                    else:
+                        triples.append((wrap(sub), wrap(pred), o))
                     continue
         try:
             t = _parse_line(s, lineno, quads, star)
