@@ -252,3 +252,28 @@ def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         *[F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
     )
     return per_doc.select("doc_id", bitstr.alias("simhash"))
+
+
+def near_dup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate grouping: MinHash-LSH candidate pairs ->
+    connected components -> (doc_id, group_id) for every doc in a near-dup
+    cluster, group_id = lexicographic min doc_id of the cluster.
+
+    This is the full 100 TB dedup shape: the pair graph is only LSH
+    candidates (never all-pairs), and the transitive closure runs on that
+    sparse edge set via the hub-safe large/small-star CC — the same operator
+    the KG alias merge uses, reused as-is. Docs in no cluster are omitted
+    (joining back for singletons is a trivial left join the caller owns)."""
+    from rio_spark.operators.canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, k, bands, shingle, bucket_cap)
+    cc = connected_components(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))

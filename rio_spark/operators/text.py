@@ -152,3 +152,52 @@ def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         (F.size(pre) - F.size(words) - F.size(numbers)).alias("n_punct"),
         subwords.alias("n_subwords"),
     )
+
+
+# PII patterns deliberately RE2-safe (no backrefs/lookaround) so the DuckDB
+# oracle evaluates the SAME regex — masking must be reproducible across
+# engines for a lineage-audited corpus. Order matters: emails are masked
+# before phone-like digit runs so an address's digits can't be half-eaten.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_mask(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: mask emails / SSN-shaped ids / phone-like
+    digit runs / IPv4s with typed placeholders, and count each kind (the
+    counts feed a redaction-rate metric per corpus shard). Pure column ops —
+    regexp_replace / regexp_count chain, whole-stage codegen, no shuffle.
+
+    -> (doc_id, masked, n_email, n_ssn, n_phone, n_ipv4)."""
+    masked = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(masked, F.lit(pat)).alias(f"n_{name}"))
+        masked = F.regexp_replace(masked, pat, token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), masked.alias("masked"), *counts
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, strata_col, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum top-k sample: rank by md5(doc_id) inside
+    each stratum (a seedless, engine-reproducible shuffle order) and keep k.
+    The standard down-sampling step of a training-data mix (k docs per
+    language/source/quality bucket); one shuffle on the stratum key, and the
+    rank is a window on that same key — no second exchange.
+
+    -> (doc_id, stratum, rank)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("stratum").orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), strata_col.alias("stratum"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

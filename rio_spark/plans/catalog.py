@@ -1710,6 +1710,146 @@ FROM documents
 """
 
 
+def q_text_pii_mask(spark, sf_dir) -> DataFrame:
+    """PII scrub over documents with deterministic synthetic PII injected
+    into every 7th doc (the raw corpus has none): emails/SSNs/phones/IPv4s
+    masked with typed placeholders + per-kind counts. Pure regexp column
+    chain, RE2-safe so DuckDB evaluates the identical patterns."""
+    from rio_spark.operators.text import pii_mask
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me at user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-0100-"), F.col("doc_id").cast("string"),
+                F.lit(" ssn 123-45-6789 host 10.0.0.1"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_mask(docs)
+
+
+ORACLE_TEXT_PII_MASK = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach me at user' || doc_id
+                   || '@example.com or 555-0100-' || doc_id
+                   || ' ssn 123-45-6789 host 10.0.0.1'
+              ELSE text END AS text
+  FROM documents
+),
+m1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM d
+),
+m2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+         regexp_replace(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t
+  FROM m1
+),
+m3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS INT) AS n_phone,
+         regexp_replace(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS t
+  FROM m2
+)
+SELECT doc_id,
+       regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS masked,
+       n_email, n_ssn, n_phone,
+       CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ipv4
+FROM m3
+"""
+
+
+def q_dedup_near_groups(spark, sf_dir) -> DataFrame:
+    """End-to-end near-dup grouping on documents + injected exact dups:
+    LSH candidate pairs -> hub-safe connected components -> (doc_id,
+    group_id). The composition a 100 TB dedup job actually runs."""
+    from rio_spark.operators.dedup import near_dup_groups
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    dups = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.concat(F.lit("dup"), F.col("doc_id").cast("string")).alias("doc_id"), "text")
+    )
+    return near_dup_groups(docs.unionByName(dups), k=4, bands=2)
+
+
+# same pair graph as ORACLE_DEDUP_LSH_PAIRS, closed transitively with a
+# recursive CTE (min-label over the reachability set = the CC fixpoint)
+ORACLE_DEDUP_NEAR_GROUPS = f"""
+WITH RECURSIVE docs0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'dup' || doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM docs0
+),
+s AS (SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM t),
+m AS (SELECT doc_id,
+  list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
+  list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+  list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+  list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+FROM s),
+b AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_sig FROM m
+  UNION ALL
+  SELECT doc_id, 1, mh2 || '|' || mh3 FROM m
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a JOIN b b2
+    ON a.band_id = b2.band_id AND a.band_sig = b2.band_sig AND a.doc_id < b2.doc_id
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS group_id FROM reach GROUP BY u
+"""
+
+
+def q_text_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic per-language top-5 sample of documents: rank by
+    md5(doc_id) inside each lang stratum — the down-sampling step of a
+    training-data mix, one shuffle total."""
+    from rio_spark.operators.text import stratified_sample
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("lang")
+    )
+    return stratified_sample(docs, F.col("lang"), k=5)
+
+
+ORACLE_TEXT_STRATIFIED_SAMPLE = """
+SELECT doc_id, stratum, rank FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS stratum,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+         ) AS INT) AS rank
+  FROM documents
+)
+WHERE rank <= 5
+"""
+
+
 def q_events_asof(spark, sf_dir) -> DataFrame:
     """As-of join: every click gets the latest purchase at-or-before it for
     the same user — union-tag + forward-fill window, ONE shuffle on user_id
@@ -2021,6 +2161,9 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_skewed": q_dedup_jaccard_skewed,
     "dedup_lsh_capped": q_dedup_lsh_capped,
+    "dedup_near_groups": q_dedup_near_groups,
+    "text_pii_mask": q_text_pii_mask,
+    "text_stratified_sample": q_text_stratified_sample,
     # -- similarity family ---------------------------------------------------
     "sim_topk": q_sim_topk,
     "sim_pairs": q_sim_pairs,
@@ -2079,6 +2222,9 @@ ORACLES = {
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_jaccard_skewed": ORACLE_DEDUP_JACCARD_SKEWED,
     "dedup_lsh_capped": ORACLE_DEDUP_LSH_CAPPED,
+    "dedup_near_groups": ORACLE_DEDUP_NEAR_GROUPS,
+    "text_pii_mask": ORACLE_TEXT_PII_MASK,
+    "text_stratified_sample": ORACLE_TEXT_STRATIFIED_SAMPLE,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),

@@ -139,6 +139,54 @@ def test_nquads_graph_and_recovery():
     assert len(e) == 1
 
 
+def test_nquads_fast_line_matches_slow_path():
+    """The NQ fast line regex must agree with the cursor walk: graph IRI,
+    no graph, bnode graph (slow path), datatype + langtag objects, and a
+    relative graph IRI rejected identically."""
+    data = (
+        "<http://s> <http://p> \"v\"@en-US <http://g> .\n"
+        "<http://s> <http://p> \"1\"^^<http://www.w3.org/2001/XMLSchema#int> <http://g> .\n"
+        "<http://s> <http://p> <http://o> _:bg .\n"
+        "<http://s> <http://p> <http://o> <relative> .\n"
+    )
+    t, e = parse_nquads(data)
+    rows = serialize_triples(t)
+    assert rows[0] == ("<http://s>", "<http://p>", '"v"@en-us', "<http://g>")
+    assert rows[1][2].endswith("XMLSchema#int>")
+    assert rows[2][3].startswith("_:")
+    assert len(e) == 1 and e[0]["line"] == 4  # relative graph IRI rejected
+
+
+def test_turtle_fast_object_mixtures():
+    """Object lists mixing every fast-path atom with fallback-only forms
+    (escapes, datatyped literals, trailing-dot locals) must parse exactly as
+    the slow path would."""
+    t, e = parse_turtle(
+        "@prefix : <http://e/> .\n"
+        ':s :p :o1, 1.5, true, "x"@EN, <http://a/b>, _:b1, "esc\\n", '
+        '"d"^^:dt, :c9. :s2 :p2 :o2, :o3 .\n',
+        None,
+    )
+    assert not e
+    rows = serialize_triples(t)
+    objs = [r[2] for r in rows if r[0] == "<http://e/s>"]
+    assert objs == [
+        "<http://e/o1>",
+        '"1.5"^^<http://www.w3.org/2001/XMLSchema#decimal>',
+        '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>',
+        '"x"@en',
+        "<http://a/b>",
+        rows[5][2],  # the blank node, relabelled deterministically
+        '"esc\\n"',
+        '"d"^^<http://e/dt>',
+        "<http://e/c9>",
+    ]
+    assert rows[5][2].startswith("_:")
+    assert [r[2] for r in rows if r[0] == "<http://e/s2>"] == [
+        "<http://e/o2>", "<http://e/o3>"
+    ]
+
+
 def test_ntriples_star():
     t, e = nt("<< <http://s> <http://p> <http://o> >> <http://q> << <http://a> <http://b> <http://c> >> .")
     assert not e

@@ -165,6 +165,53 @@ def test_cosine_pairs_above(spark, embeddings):
     assert (pairs.cosine <= 1.0).all()
 
 
+def test_pii_mask(spark):
+    import pandas as pd
+    from rio_spark.operators.text import pii_mask
+
+    rows = [
+        ("p1", "mail me at jo.doe+x@corp.example.org thanks"),
+        ("p2", "ssn is 123-45-6789 and ip 192.168.0.1"),
+        ("p3", "call +1 (555) 010-0199 now"),
+        ("p4", "nothing sensitive here"),
+    ]
+    out = pii_mask(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ).toPandas().set_index("doc_id")
+    assert out.loc["p1", "masked"] == "mail me at <EMAIL> thanks"
+    assert out.loc["p1", "n_email"] == 1
+    assert out.loc["p2", "masked"] == "ssn is <SSN> and ip <IP>"
+    assert out.loc["p2", "n_ssn"] == 1 and out.loc["p2", "n_ipv4"] == 1
+    assert out.loc["p3", "masked"] == "call <PHONE> now"
+    assert out.loc["p4", "masked"] == "nothing sensitive here"
+    assert out.loc["p4", ["n_email", "n_ssn", "n_phone", "n_ipv4"]].sum() == 0
+
+
+def test_near_dup_groups(spark, docs):
+    from rio_spark.operators.dedup import near_dup_groups
+
+    g = near_dup_groups(docs, k=16, bands=8).toPandas().set_index("doc_id")["group_id"]
+    # identical docs a1/a2 (and the near-dup a3) collapse onto min id a1;
+    # unrelated docs form no group or their own
+    assert g["a1"] == "a1" and g["a2"] == "a1"
+    if "a3" in g.index:
+        assert g["a3"] == "a1"
+    assert "b1" not in g.index or g["b1"] != "a1"
+
+
+def test_stratified_sample_deterministic(spark):
+    import pandas as pd
+    from rio_spark.operators.text import stratified_sample
+
+    rows = [(f"d{i}", "en" if i % 2 == 0 else "es") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    a = stratified_sample(df, F.col("lang"), k=3).toPandas()
+    b = stratified_sample(df, F.col("lang"), k=3).toPandas()
+    assert len(a) == 6 and set(a.stratum) == {"en", "es"}
+    assert a.groupby("stratum")["rank"].max().eq(3).all()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # same sample every run
+
+
 def test_language_id(spark, docs):
     out = language_id(docs).toPandas().set_index("doc_id")
     assert out.loc["a1", "lang_pred"] == "en"
