@@ -1,0 +1,100 @@
+"""Graph analytics over extracted KG edges: distributed PageRank.
+
+Companion to the connected-components canonicalizer (canonicalize.py): CC
+merges aliases, PageRank ranks the merged entities — the standard centrality
+signal a KG construction pipeline exports (entity salience for linker
+priors, sampling weights for training-data mixes).
+
+Spark-first shape: each iteration is ONE join (ranks onto edge sources, a
+shuffle on src) plus ONE aggregation (contributions by dst, map-side
+combinable) — identical cost to a CC round, O(log-free) fixed iteration
+count chosen by the caller. Lineage is cut per iteration with a lazy
+localCheckpoint exactly like the CC loop (the next iteration's join is the
+materializing action). Cross-engine determinism against the DuckDB oracle
+(the same iterations unrolled as CTEs) comes from a per-node seeded teleport
+vector that keeps every rank off the rounding grid — see ``pagerank``.
+
+Simplification, documented: dangling-node mass is dropped (the classic
+"simplified PageRank"); total mass therefore leaks per iteration. Handling
+it costs one extra scalar aggregate per iteration and is orthogonal to the
+plan shape being demonstrated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    round_to: int = 4,
+    seeded: bool = True,
+) -> DataFrame:
+    """Directed edges -> (node, rank) after ``iters`` PageRank iterations,
+    in the scale-invariant (N-normalized) form:
+
+    rank_0 = 1; rank_{t+1}(v) = (1-d) + d * sum_{u->v} rank_t(u)/deg(u)
+
+    — i.e. classic PageRank times N (divide by N for probabilities). The
+    normalized form is deliberate for cross-engine reproducibility: ranks
+    stay O(1) so the final rounding has huge margin over accumulation noise.
+
+    ``seeded=True`` (the default) runs PERSONALIZED PageRank: each node v
+    gets eps(v) = ascii(md5(v)[0]) / 7777 and the teleport term becomes
+    (1-d)*(1+eps(v)) — a per-node teleport vector, the standard
+    personalization feature, which doubles as the cross-engine determinism
+    guarantee. With a uniform teleport every rank is a rational with a
+    2^a*5^b*deg denominator, i.e. decimal-FINITE — values land EXACTLY on
+    rounding-grid midpoints (observed at every sf), and engines disagree
+    structurally on such ties (Spark's round/bround rounds the double's
+    shortest-decimal repr, DuckDB rounds the true binary value; accumulation
+    order even flips the side between runs). Seeding rank_0 alone is NOT
+    enough: on a bipartite/DAG edge set, source nodes have no in-edges, so
+    after one iteration their rank collapses to exactly (1-d) and the seed
+    washes out of everything downstream. Re-injecting eps through the
+    teleport term every iteration keeps a fresh 7777 = 7*11*101 factor in
+    every rank's denominator — it can never cancel against 2^a*5^b, so no
+    rank is decimal-finite and no rounding tie can occur at any grid.
+    Intermediates are deliberately unrounded (intermediate rounding is what
+    manufactures ties). No driver-side scalars; everything is
+    joins/aggregations on the edge key.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # round(·,10) pins the Python double to the same value DuckDB gets from
+    # its decimal literal (1.0-0.85 is 0.15000000000000002 in binary)
+    base = round(1.0 - damping, 10)
+    eps = (
+        F.ascii(F.substring(F.md5(F.col("node")), 1, 1)) / F.lit(7777.0)
+        if seeded
+        else F.lit(0.0)
+    )
+    nodes = nodes.select("node", eps.alias("eps"))
+    ranks = nodes.select(
+        "node", "eps", (F.lit(1.0) + F.col("eps")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            "eps",
+            (
+                F.lit(base) * (F.lit(1.0) + F.col("eps"))
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
+    return ranks.select("node", F.round("rank", round_to).alias("rank"))

@@ -201,3 +201,26 @@ def stratified_sample(
         .select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def vocab_top_df(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary building: top-k tokens by document frequency (distinct
+    docs containing the token), deterministic tie-break on the token itself.
+    The first step of any tokenizer/vocab pipeline over a 100 TB corpus:
+    explode distinct per-doc tokens (map-side dedup before the shuffle),
+    one hash-aggregate on the token key, top-k.
+
+    -> (token, df) ordered by (df desc, token asc)."""
+    from rio_spark.operators.dedup import tokens_col
+
+    ex = docs.select(
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        ex.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )

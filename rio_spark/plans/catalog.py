@@ -1210,6 +1210,100 @@ SELECT 'a0', 'a0'
 """
 
 
+def q_kg_pagerank(spark, sf_dir) -> DataFrame:
+    """Entity salience: 3-iteration simplified PageRank over the bipartite
+    order->part edge graph (stand-in for the canonicalized KG's entity
+    graph). Each iteration = one join on src + one map-side-combinable
+    aggregation on dst — the CC round's cost shape, fixed iteration count."""
+    from rio_spark.operators.graph import pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iters=3)
+
+
+# the same three iterations unrolled as CTEs; intermediates deliberately
+# UNROUNDED and the TELEPORT term seeded per node via md5 (the 7777 seed
+# denominator re-enters every iteration, so no rank — even of a bipartite
+# source node — is ever decimal-finite and the single final rounding can
+# never hit a grid tie; see operators/graph.py docstring for the analysis)
+ORACLE_KG_PAGERANK = """
+WITH e AS (
+  SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem
+),
+nodes AS (
+  -- explicit DOUBLE casts: a bare ascii(...)/7777.0 would be DuckDB DECIMAL
+  -- division, which is not IEEE and would diverge from Spark
+  SELECT node,
+         CAST(ascii(substr(md5(node), 1, 1)) AS DOUBLE) / CAST(7777 AS DOUBLE) AS eps
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) + eps AS rank FROM nodes),
+c1 AS (
+  SELECT e.dst AS node, sum(r0.rank / outdeg.deg) AS c
+  FROM e JOIN r0 ON e.src = r0.node JOIN outdeg ON e.src = outdeg.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nodes.node, nodes.eps,
+         CAST(0.15 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + nodes.eps)
+         + CAST(0.85 AS DOUBLE) * coalesce(c1.c, 0) AS rank
+  FROM nodes LEFT JOIN c1 USING (node)
+),
+c2 AS (
+  SELECT e.dst AS node, sum(r1.rank / outdeg.deg) AS c
+  FROM e JOIN r1 ON e.src = r1.node JOIN outdeg ON e.src = outdeg.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nodes.node, nodes.eps,
+         CAST(0.15 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + nodes.eps)
+         + CAST(0.85 AS DOUBLE) * coalesce(c2.c, 0) AS rank
+  FROM nodes LEFT JOIN c2 USING (node)
+),
+c3 AS (
+  SELECT e.dst AS node, sum(r2.rank / outdeg.deg) AS c
+  FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT nodes.node, nodes.eps,
+         CAST(0.15 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + nodes.eps)
+         + CAST(0.85 AS DOUBLE) * coalesce(c3.c, 0) AS rank
+  FROM nodes LEFT JOIN c3 USING (node)
+)
+SELECT node, round(rank, 4) AS rank FROM r3
+"""
+
+
+def q_text_vocab(spark, sf_dir) -> DataFrame:
+    """Vocabulary building: top-100 tokens by document frequency,
+    deterministic (df desc, token asc) tie-break."""
+    from rio_spark.operators.text import vocab_top_df
+
+    return vocab_top_df(
+        _documents(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        k=100,
+    )
+
+
+ORACLE_TEXT_VOCAB = """
+WITH t AS (
+  SELECT list_distinct(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+         ) AS toks
+  FROM documents
+),
+ex AS (SELECT unnest(toks) AS token FROM t),
+g AS (SELECT token, count(*) AS df FROM ex WHERE token <> '' GROUP BY token)
+SELECT token, df FROM g ORDER BY df DESC, token ASC LIMIT 100
+"""
+
+
 def q_dedup_lsh_pairs(spark, sf_dir) -> DataFrame:
     """MinHash-LSH banding candidates (k=4 minhashes, 2 bands) over documents
     plus injected exact duplicates (every 10th doc), so the band join provably
@@ -2144,6 +2238,7 @@ QUERIES = {
     "kg_assembly": q_kg_assembly,
     "kg_connected_components": q_kg_connected_components,
     "kg_cc_skewed": q_kg_cc_skewed,
+    "kg_pagerank": q_kg_pagerank,
     "kg_canonicalize": q_kg_canonicalize,
     "kg_pipeline_e2e": q_kg_pipeline_e2e,
     "kg_entity_linking": q_kg_entity_linking,
@@ -2164,9 +2259,9 @@ QUERIES = {
     "dedup_near_groups": q_dedup_near_groups,
     "text_pii_mask": q_text_pii_mask,
     "text_stratified_sample": q_text_stratified_sample,
+    "text_vocab": q_text_vocab,
     # -- similarity family ---------------------------------------------------
     "sim_topk": q_sim_topk,
-    "sim_pairs": q_sim_pairs,
     "sim_pairs_lsh": q_sim_pairs_lsh,
     "sim_ann_topk": q_sim_ann_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
@@ -2177,6 +2272,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
     # -- TAIL: driver-green in round 2 (CORRECTNESS_r02), parity-covered ----
+    "sim_pairs": q_sim_pairs,
     "events_json_props": q_events_json_props,
     "events_distinct_users": q_events_distinct_users,
     "window_topk": q_window_topk,
@@ -2225,6 +2321,8 @@ ORACLES = {
     "dedup_near_groups": ORACLE_DEDUP_NEAR_GROUPS,
     "text_pii_mask": ORACLE_TEXT_PII_MASK,
     "text_stratified_sample": ORACLE_TEXT_STRATIFIED_SAMPLE,
+    "text_vocab": ORACLE_TEXT_VOCAB,
+    "kg_pagerank": ORACLE_KG_PAGERANK,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),
