@@ -87,6 +87,7 @@ def extract_triples(
     format_col: str = "format",
     base_col: str = "base_iri",
     parallelism: int | None = None,
+    jvm_fast: bool = False,
 ) -> DataFrame:
     """Documents DF -> unified triples/errors DF (EXTRACT_SCHEMA).
 
@@ -94,7 +95,16 @@ def extract_triples(
     ``format_col``. ``base_col`` is optional (null base = absolute IRIs only).
     Split the result with :func:`triples_of` / :func:`errors_of`.
 
-    ``parallelism`` (default: 2× defaultParallelism) repartitions the doc
+    ``jvm_fast`` routes fast N-Triples/N-Quads lines through a whole-stage-
+    codegen regex pre-pass (operators/extract_jvm.py) so the bulk of a
+    line-oriented dump never crosses the Python boundary; everything the
+    regex rejects — and every non-line format — takes the Python kernel path
+    below with identical semantics (differential-tested).  Default OFF: on
+    this hardware the Java regex engine loses to the memoized sre fast path
+    ~2.6x per core (measured 422k vs 1.12M triples/s at 8 cores on a 4M-line
+    NT corpus — see extract_jvm.py's module docstring for when to enable).
+
+    ``parallelism`` (default: 4× defaultParallelism) repartitions the doc
     stream before the kernel stage. This is load-bearing for scaling: AQE
     coalesces post-shuffle partitions by BYTE size, and assembled documents
     are tiny relative to their parse cost, so without an explicit repartition
@@ -107,6 +117,30 @@ def extract_triples(
         # 4x cores: fine-grained round-robin absorbs per-document parse-cost
         # skew (a 10k-statement doc costs ~400ms; most cost ~1ms)
         parallelism = docs.sparkSession.sparkContext.defaultParallelism * 4
+    if jvm_fast and (fmt in ("nt", "nq") or (fmt is None and format_col in docs.columns)):
+        from rio_spark.operators.extract_jvm import nt_line_split
+
+        fast, slow_docs, other_docs = nt_line_split(
+            docs, fmt, id_col, text_col, format_col, base_col
+        )
+        # slow NT residue is typically a trickle; the groupBy reconstruction
+        # already spread it by document hash — skip the re-shuffle
+        out = fast.unionByName(
+            extract_triples(
+                slow_docs, None, id_col, text_col, format_col, base_col,
+                parallelism=0, jvm_fast=False,
+            )
+        )
+        if other_docs is not None:
+            # non-NT formats take the unchanged Python path (with its
+            # skew-evening round-robin repartition)
+            out = out.unionByName(
+                extract_triples(
+                    other_docs, None, id_col, text_col, format_col, base_col,
+                    parallelism=parallelism, jvm_fast=False,
+                )
+            )
+        return out
     if parallelism:
         docs = docs.repartition(parallelism)
     cols = set(docs.columns)
