@@ -89,6 +89,17 @@ _FAST_OBJ_RE = re.compile(
     rf"(?P<o>{_F_IRI}|{_F_BNODE}|{_F_STRING}|true|false|{_F_NUM}|{_F_PNAME})"
     rf"(?=[ \t\r\n,;.\])}}#]|$)"
 )
+# fused comma-run for object lists: one match consumes ``ws object ws ,`` —
+# replacing per-object skip_ws / annotation-probe / separator-peek calls in
+# the `o1, o2, ..., oN` hot loop (10k-object lists in benchmark corpora).
+# Anything irregular — annotation `{|`, comment, a comma on the next line —
+# fails the match and falls back to the generic loop body for that object:
+# false negatives only.  Newlines are safe to consume (error line numbers
+# are derived from position on demand, _Parser.err).
+_FAST_OBJCONT_RE = re.compile(
+    rf"[ \t\r\n]*(?P<o>{_F_IRI}|{_F_BNODE}|{_F_STRING}|true|false|{_F_NUM}|{_F_PNAME})"
+    rf"[ \t]*,"
+)
 _F_BNODE_FIRST_RE = re.compile(f"[{PN_CHARS_U_CLASS}0-9]")
 
 
@@ -615,6 +626,18 @@ class _Parser:
                 self.skip_ws()
                 if self.peek() == ",":
                     self.i += 1
+                    # fused comma-run: each iteration is one regex match plus
+                    # one term expansion; whatever it can't prove falls back
+                    # to the generic body above (via the outer `continue`)
+                    while True:
+                        m = _FAST_OBJCONT_RE.match(self.s, self.i)
+                        if m is None:
+                            break
+                        t = self._fast_term(m.group("o"), "o")
+                        if t is None:
+                            break
+                        self.emit(subject, pred, t)
+                        self.i = m.end()
                     continue
                 break
             # predicate continuation
@@ -692,11 +715,14 @@ class _Parser:
 
     def _fast_term(self, tok: str, pos: str):
         """Expand a fast-path token; None = fall back to the full grammar."""
+        # cache first: IRIs and prefixed names repeat massively, and only
+        # those token shapes are ever stored, so a hit short-circuits the
+        # whole branch chain (bnode/literal/number tokens always miss)
+        cached = self._pn_cache.get(tok)
+        if cached is not None:
+            return cached
         c0 = tok[0]
         if c0 == "<":
-            cached = self._pn_cache.get(tok)
-            if cached is not None:
-                return cached
             try:
                 out = self._iri_of(tok[1:-1])
             except ParseError:
@@ -731,9 +757,6 @@ class _Parser:
                 return None
         if ":" not in tok:
             return None
-        cached = self._pn_cache.get(tok)
-        if cached is not None:
-            return cached
         prefix, local = tok.split(":", 1)
         if prefix.endswith(".") or local.endswith("."):
             return None  # maximal munch ate a statement/extra dot
