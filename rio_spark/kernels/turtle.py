@@ -750,8 +750,11 @@ class _Parser:
             if tok == "true" or tok == "false":
                 return encode_literal(tok, None, XSD_BOOLEAN)
             if c0.isdigit() or c0 in "+-.":
-                for rx, dt in ((_DOUBLE_RE, XSD_DOUBLE), (_DECIMAL_RE, XSD_DECIMAL),
-                               (_INTEGER_RE, XSD_INTEGER)):
+                # the three grammars are mutually exclusive (double needs an
+                # exponent, decimal a dot without one), so probe integers —
+                # the overwhelmingly common case — first
+                for rx, dt in ((_INTEGER_RE, XSD_INTEGER), (_DECIMAL_RE, XSD_DECIMAL),
+                               (_DOUBLE_RE, XSD_DOUBLE)):
                     if rx.fullmatch(tok):
                         return encode_literal(tok, None, dt)
                 return None

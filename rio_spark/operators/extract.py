@@ -216,12 +216,17 @@ def extract_triples(
                 scope = _SCOPE_SANITIZE.sub("_", did) + "_"
                 labels: dict = {}
                 for row in triples:
+                    # plain canonical strings (the overwhelming majority of
+                    # terms) skip the serialize_term call entirely; only
+                    # BNode/QTriple terms need relabelling
+                    s, p, o = row[0], row[1], row[2]
                     c_doc.append(did)
-                    c_s.append(serialize_term(row[0], labels, scope))
-                    c_p.append(serialize_term(row[1], labels, scope))
-                    c_o.append(serialize_term(row[2], labels, scope))
+                    c_s.append(s if type(s) is str else serialize_term(s, labels, scope))
+                    c_p.append(p if type(p) is str else serialize_term(p, labels, scope))
+                    c_o.append(o if type(o) is str else serialize_term(o, labels, scope))
                     if len(row) == 4 and row[3] is not None:
-                        c_g.append(serialize_term(row[3], labels, scope))
+                        g = row[3]
+                        c_g.append(g if type(g) is str else serialize_term(g, labels, scope))
                     else:
                         c_g.append(None)
                 for e in errors:
