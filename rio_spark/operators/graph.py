@@ -98,3 +98,67 @@ def pagerank(
             ).alias("rank"),
         ).localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
+
+
+def cooccurrence_edges(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    node_mod: int | None = None,
+) -> DataFrame:
+    """Undirected co-occurrence edges ``(a, b), a < b`` between items that
+    share a group — the standard "related entities" projection of a
+    bipartite membership table (parts per order, entities per document).
+
+    One self-join on the group key; the ``a < b`` node ordering halves the
+    join output and makes each undirected edge a single row.  ``node_mod``
+    deterministically samples nodes (``item % node_mod == 0``) BEFORE the
+    join — the quadratic per-group fan-out is bounded at the source, which
+    is the knob that keeps downstream triangle/path analytics feasible on a
+    hub-heavy 100 TB graph (sampled-subgraph estimates are the standard
+    practice at that scale)."""
+    a = items.select(F.col(group_col).alias("__g"), F.col(item_col).alias("a"))
+    if node_mod:
+        a = a.filter(F.col("a") % node_mod == 0)
+    b = a.select(F.col("__g"), F.col("a").alias("b"))
+    return (
+        a.join(b, "__g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangle count over node-ordered undirected edges ``(a < b)``.
+
+    The join-based formulation with total node ordering — wedges
+    ``x<y<z`` from E(x,y) |><| E(y,z), closed against E(x,z) — counts each
+    triangle exactly ONCE with plain equi-joins (shuffles on the shared
+    node), no explosion into neighborhood arrays (hub-safe, same argument
+    as the CC rewrite in canonicalize.py).  -> one row (n_triangles)."""
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .groupBy()
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of node-ordered undirected edges: (degree,
+    n_nodes) ascending.  Two map-side-combinable hash aggregates; the
+    histogram is the scale-safe way to LOOK at a 100 TB graph (per-node
+    degree lists are not)."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
+    )

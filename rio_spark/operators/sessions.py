@@ -58,3 +58,50 @@ def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
             "total_value",
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: for step k, the users who completed steps
+    1..k with strictly increasing timestamps (each step strictly after the
+    user's earliest qualifying completion of the previous step).
+
+    -> (step, event_type, users), one row per step.
+
+    Per step: one filtered aggregation (min ts per user, map-side
+    combinable) joined to the previous step's frontier on the user key.
+    The frontier is one row per surviving user — it SHRINKS monotonically,
+    so at 100 TB the per-step join gets cheaper as the funnel deepens, and
+    the per-user state is a single timestamp (never an event list)."""
+    frontier = None
+    rows = []
+    for idx, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if frontier is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("ft"))
+        else:
+            cur = (
+                ev.join(frontier, "u")
+                .filter(F.col("t") > F.col("ft"))
+                .groupBy("u")
+                .agg(F.min("t").alias("ft"))
+            )
+        frontier = cur
+        rows.append(
+            cur.groupBy().agg(F.count("*").alias("users")).select(
+                F.lit(idx + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                "users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -224,3 +224,71 @@ def vocab_top_df(
         .orderBy(F.col("df").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def tfidf_top(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """TF-IDF-style term salience with a LINEAR idf: score = tf * N / df.
+
+    The classic ln(N/df) is deliberately avoided on the oracle-checked
+    surface: libm ln() is not bit-reproducible across engines, while counts
+    are exact integers and the score here is two IEEE double ops (multiply,
+    divide) in a fixed order — bit-identical everywhere, so the result needs
+    no rounding and can never hit a rounding-grid tie.  Plan: one explode ->
+    (doc, token) hash agg (map-side combinable) -> token-level df agg
+    (vocabulary-sized, broadcast back) -> global top-k with a total
+    (score desc, doc_id, token) order.
+    """
+    from rio_spark.operators.dedup import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.groupBy().agg(F.count("*").alias("n_docs")).withColumn("__k", F.lit(1))
+    score = (
+        F.col("tf").cast("double") * F.col("n_docs").cast("double")
+        / F.col("df").cast("double")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(n), "__k")
+        .select("doc_id", "token", "tf", "df", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def ngram_top(
+    docs: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k token n-grams by occurrence (LM-style n-gram
+    statistics over a training corpus).  One explode + one hash aggregate
+    on the n-gram key (map-side combinable), deterministic
+    (count desc, gram asc) tie-break.  Documents shorter than n tokens
+    contribute nothing (unlike dedup shingles, which keep a whole-doc
+    fallback shingle — different contract, hence not shingles_col)."""
+    from rio_spark.operators.dedup import let_col, tokens_col
+
+    grams = let_col(
+        tokens_col(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )

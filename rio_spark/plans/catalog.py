@@ -1304,6 +1304,138 @@ SELECT token, df FROM g ORDER BY df DESC, token ASC LIMIT 100
 """
 
 
+def q_text_tfidf(spark, sf_dir) -> DataFrame:
+    """TF-IDF-style salience, linear idf (score = tf*N/df: two IEEE double
+    ops on exact counts — bit-reproducible, no rounding, no ln())."""
+    from rio_spark.operators.text import tfidf_top
+
+    return tfidf_top(_documents(spark, sf_dir), k=100)
+
+
+ORACLE_TEXT_TFIDF = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM ex WHERE token <> '' GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       CAST(tf.tf AS DOUBLE) * CAST(n.nd AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+FROM tf JOIN df USING (token), n
+ORDER BY score DESC, tf.doc_id ASC, tf.token ASC LIMIT 100
+"""
+
+
+def q_text_ngrams(spark, sf_dir) -> DataFrame:
+    """Corpus-wide top-100 token bigrams (LM n-gram statistics)."""
+    from rio_spark.operators.text import ngram_top
+
+    return ngram_top(_documents(spark, sf_dir), n=2, k=100)
+
+
+ORACLE_TEXT_NGRAMS = """
+WITH t AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT unnest(
+    [z[1] || ' ' || z[2] for z in list_zip(toks, toks[2:]) if z[2] IS NOT NULL]
+  ) AS gram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT gram, count(*) AS cnt FROM g WHERE gram <> ' '
+GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 100
+"""
+
+
+def _part_cooccurrence(spark, sf_dir, node_mod):
+    from rio_spark.operators.graph import cooccurrence_edges
+
+    li = _read(spark, sf_dir, "lineitem")
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey", node_mod=node_mod)
+
+
+_ORACLE_COOC = """
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  {extra}
+"""
+
+
+def q_kg_triangles(spark, sf_dir) -> DataFrame:
+    """Triangle count on the part co-occurrence graph (deterministic 1/7
+    node sample bounds the quadratic group fan-out — the standard
+    sampled-subgraph estimate for hub-heavy graphs)."""
+    from rio_spark.operators.graph import triangle_count
+
+    return triangle_count(_part_cooccurrence(spark, sf_dir, node_mod=7))
+
+
+ORACLE_KG_TRIANGLES = (
+    "WITH e AS ("
+    + _ORACLE_COOC.format(extra="WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0")
+    + """)
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+
+def q_kg_degree_stats(spark, sf_dir) -> DataFrame:
+    """Degree histogram of the (full) part co-occurrence graph."""
+    from rio_spark.operators.graph import degree_histogram
+
+    return degree_histogram(_part_cooccurrence(spark, sf_dir, node_mod=None))
+
+
+ORACLE_KG_DEGREE_STATS = (
+    "WITH e AS ("
+    + _ORACLE_COOC.format(extra="")
+    + """),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+"""
+)
+
+
+def q_events_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (strictly increasing ts)."""
+    from rio_spark.operators.sessions import funnel_counts
+
+    return funnel_counts(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS ft FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS ft
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.ft
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS ft
+  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.ft
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS event_type, count(*) AS users FROM s1
+UNION ALL SELECT CAST(2 AS INT), 'click', count(*) FROM s2
+UNION ALL SELECT CAST(3 AS INT), 'purchase', count(*) FROM s3
+"""
+
+
 def q_dedup_lsh_pairs(spark, sf_dir) -> DataFrame:
     """MinHash-LSH banding candidates (k=4 minhashes, 2 bands) over documents
     plus injected exact duplicates (every 10th doc), so the band join provably
@@ -2260,6 +2392,11 @@ QUERIES = {
     "text_pii_mask": q_text_pii_mask,
     "text_stratified_sample": q_text_stratified_sample,
     "text_vocab": q_text_vocab,
+    "text_tfidf": q_text_tfidf,
+    "text_ngrams": q_text_ngrams,
+    "kg_triangles": q_kg_triangles,
+    "kg_degree_stats": q_kg_degree_stats,
+    "events_funnel": q_events_funnel,
     # -- similarity family ---------------------------------------------------
     "sim_topk": q_sim_topk,
     "sim_pairs_lsh": q_sim_pairs_lsh,
@@ -2322,6 +2459,11 @@ ORACLES = {
     "text_pii_mask": ORACLE_TEXT_PII_MASK,
     "text_stratified_sample": ORACLE_TEXT_STRATIFIED_SAMPLE,
     "text_vocab": ORACLE_TEXT_VOCAB,
+    "text_tfidf": ORACLE_TEXT_TFIDF,
+    "text_ngrams": ORACLE_TEXT_NGRAMS,
+    "kg_triangles": ORACLE_KG_TRIANGLES,
+    "kg_degree_stats": ORACLE_KG_DEGREE_STATS,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
     "kg_pagerank": ORACLE_KG_PAGERANK,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
