@@ -80,23 +80,30 @@ def connected_components(
     # content hash). The signature aggregate IS the materializing action for
     # the round's LAZY localCheckpoint — one driver job per round where an
     # eager checkpoint plus a separate aggregate used to take two.
-    prev_sig = None
-    for _ in range(max_iter):
-        # each star step references its input twice (groupBy + join re-emit);
-        # caching the large-star intermediate stops small_star from running
-        # the large-star DAG twice — measured ~1.7x faster rounds (cache
-        # spills to disk at scale; freed right after the round materializes)
-        ls = large_star(e).cache()
-        e = small_star(ls).distinct().localCheckpoint(eager=False)
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free under ANSI
-        ).first()
-        ls.unpersist()
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # pure-JVM loop: re-enable AQE coalescing around the fixpoint's driver
+    # jobs (see session.coalesced_shuffles — the global disable protects
+    # Python kernel stages, which this loop has none of)
+    from rio_spark.session import coalesced_shuffles
+
+    with coalesced_shuffles(edges.sparkSession):
+        prev_sig = None
+        for _ in range(max_iter):
+            # each star step references its input twice (groupBy + join
+            # re-emit); caching the large-star intermediate stops small_star
+            # from running the large-star DAG twice — measured ~1.7x faster
+            # rounds (cache spills to disk at scale; freed right after the
+            # round materializes)
+            ls = large_star(e).cache()
+            e = small_star(ls).distinct().localCheckpoint(eager=False)
+            row = e.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free under ANSI
+            ).first()
+            ls.unpersist()
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
     return comp.select(
         F.col("u").alias("node"),

@@ -9,6 +9,7 @@ cluster cores there.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -55,3 +56,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def coalesced_shuffles(spark: SparkSession):
+    """Temporarily re-enable AQE partition coalescing around pure-JVM driver
+    actions.
+
+    The session disables byte-based coalescing globally because it collapses
+    byte-light / CPU-heavy Python kernel stages onto 1-2 reducers (see the
+    builder above).  Iterative JVM-only loops (connected components,
+    PageRank) have the opposite profile: at small edge counts their cost is
+    per-task fixed overhead across many near-empty shuffle partitions, which
+    coalescing removes; at 10^12 edges partitions are byte-full and
+    coalescing is a no-op.  Affects only actions executed INSIDE the block
+    (AQE reads the conf at execution time) — lazily returned DataFrames
+    executed later use the restored setting.
+    """
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
