@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "window_topk",
     "events_sessionize",
     "events_asof",
+    "events_funnel",
+    "text_tfidf",
+    "text_ngrams",
+    "kg_triangles",
+    "kg_pagerank",
 ]
 
 

@@ -82,21 +82,30 @@ def pagerank(
     ranks = nodes.select(
         "node", "eps", (F.lit(1.0) + F.col("eps")).alias("rank")
     )
-    for _ in range(iters):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            "eps",
-            (
-                F.lit(base) * (F.lit(1.0) + F.col("eps"))
-                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-            ).alias("rank"),
-        ).localCheckpoint(eager=False)
+    # pure-JVM loop: materialize each iteration eagerly UNDER re-enabled AQE
+    # coalescing (session.coalesced_shuffles) — with the global coalescing
+    # disable, every iteration's joins otherwise run shuffle_partitions
+    # near-empty tasks per stage and the fixed cost dominates small/medium
+    # graphs (a lazy checkpoint chain would materialize later, under the
+    # caller's conf, where coalescing is off again)
+    from rio_spark.session import coalesced_shuffles
+
+    with coalesced_shuffles(edges.sparkSession):
+        for _ in range(iters):
+            contrib = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .join(outdeg, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+            )
+            ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                "eps",
+                (
+                    F.lit(base) * (F.lit(1.0) + F.col("eps"))
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            ).localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
