@@ -9,7 +9,7 @@ scan, aggregations with partial combine), not NLP sophistication.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from rio_spark.operators.dedup import normalize_text, tokens_col
 
@@ -291,4 +291,56 @@ def ngram_top(
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing: assign documents to training batches ("bins") so
+    each bin holds ~``budget`` tokens, without splitting a document — the
+    batch-construction step of an LLM training pipeline.
+
+    -> (doc_id, n_tokens, bin_id) with bin_id = global_tokens_before // budget
+    over the deterministic (doc_id % n_buckets, doc_id) total order.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM: a global ordered cumsum window
+    would serialize onto one task, so instead documents are bucketed
+    (doc_id % n_buckets), each bucket cumsums in parallel under a window,
+    and the n_buckets per-bucket totals (a bounded constant) are collected
+    and prefix-summed on the driver into per-bucket offsets that are
+    broadcast back.  Offset-packing is the standard parallel approximation:
+    each bin may overflow ``budget`` by at most one document (a document
+    straddling a boundary lands wholly in the bin its first token falls
+    in); integer arithmetic end-to-end, so the assignment is
+    engine-exact."""
+    from rio_spark.operators.dedup import tokens_col
+
+    spark = docs.sparkSession
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.col("doc_id") % n_buckets)
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    d = d.withColumn("local_cum", F.sum("n_tokens").over(w))
+    totals = sorted(
+        d.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect(),
+        key=lambda r: r["bucket"],
+    )
+    offsets, running = [], 0
+    for r in totals:
+        offsets.append((r["bucket"], running))
+        running += r["tot"]
+    off_df = spark.createDataFrame(offsets, "bucket long, off long")
+    return (
+        d.join(F.broadcast(off_df), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(off + local_cum - n_tokens) div " + str(int(budget))).alias("bin_id"),
+        )
     )

@@ -1304,6 +1304,48 @@ SELECT token, df FROM g ORDER BY df DESC, token ASC LIMIT 100
 """
 
 
+def q_text_pack_batches(spark, sf_dir) -> DataFrame:
+    """Sequence packing: token-budget training batches via a distributed
+    prefix sum (bucket cumsums + broadcast bucket offsets)."""
+    from rio_spark.operators.text import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), budget=2048, n_buckets=64)
+
+
+ORACLE_TEXT_PACK_BATCHES = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         -- sum(BIGINT) is HUGEINT in DuckDB; pin back to BIGINT
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id % 64, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, (cum - n_tokens) // 2048 AS bin_id FROM c
+"""
+
+
+def q_events_quantiles(spark, sf_dir) -> DataFrame:
+    """Exact per-type value quantiles (PERCENTILE_DISC: engine-exact because
+    it picks actual data values; the sketch upgrade path is documented in
+    operators/stats.py)."""
+    from rio_spark.operators.stats import group_quantiles
+
+    return group_quantiles(_read(spark, sf_dir, "events"), "event_type", "value")
+
+
+ORACLE_EVENTS_QUANTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_text_tfidf(spark, sf_dir) -> DataFrame:
     """TF-IDF-style salience, linear idf (score = tf*N/df: two IEEE double
     ops on exact counts — bit-reproducible, no rounding, no ln())."""
@@ -2394,6 +2436,8 @@ QUERIES = {
     "text_vocab": q_text_vocab,
     "text_tfidf": q_text_tfidf,
     "text_ngrams": q_text_ngrams,
+    "text_pack_batches": q_text_pack_batches,
+    "events_quantiles": q_events_quantiles,
     "kg_triangles": q_kg_triangles,
     "kg_degree_stats": q_kg_degree_stats,
     "events_funnel": q_events_funnel,
@@ -2461,6 +2505,8 @@ ORACLES = {
     "text_vocab": ORACLE_TEXT_VOCAB,
     "text_tfidf": ORACLE_TEXT_TFIDF,
     "text_ngrams": ORACLE_TEXT_NGRAMS,
+    "text_pack_batches": ORACLE_TEXT_PACK_BATCHES,
+    "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "kg_triangles": ORACLE_KG_TRIANGLES,
     "kg_degree_stats": ORACLE_KG_DEGREE_STATS,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
