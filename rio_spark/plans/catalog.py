@@ -1304,6 +1304,32 @@ SELECT token, df FROM g ORDER BY df DESC, token ASC LIMIT 100
 """
 
 
+def q_kg_bgp_star(spark, sf_dir) -> DataFrame:
+    """SPARQL-style basic graph pattern over extracted triples: the 3-pattern
+    subject star { ?d p:lang "en" . ?d p:source ?src . ?d p:nchars ?n } —
+    the canonical post-parse KG query (operators/bgp.py)."""
+    from rio_spark.operators.bgp import bgp_join
+
+    docs = assemble_documents_salted(_nt_transcripts(spark, sf_dir))
+    triples = triples_of(extract_triples(docs, fmt="nt"))
+    return bgp_join(
+        triples,
+        [
+            ("?d", f"<{P_NS}lang>", '"en"'),
+            ("?d", f"<{P_NS}source>", "?src"),
+            ("?d", f"<{P_NS}nchars>", "?n"),
+        ],
+    )
+
+
+ORACLE_KG_BGP_STAR = f"""
+SELECT '<{DOC_NS}' || doc_id || '>' AS d,
+       '"' || source || '"' AS src,
+       '"' || n_chars || '"^^<{XSD_INT}>' AS n
+FROM documents WHERE lang = 'en'
+"""
+
+
 def q_text_pack_batches(spark, sf_dir) -> DataFrame:
     """Sequence packing: token-budget training batches via a distributed
     prefix sum (bucket cumsums + broadcast bucket offsets)."""
@@ -2438,6 +2464,7 @@ QUERIES = {
     "text_ngrams": q_text_ngrams,
     "text_pack_batches": q_text_pack_batches,
     "events_quantiles": q_events_quantiles,
+    "kg_bgp_star": q_kg_bgp_star,
     "kg_triangles": q_kg_triangles,
     "kg_degree_stats": q_kg_degree_stats,
     "events_funnel": q_events_funnel,
@@ -2507,6 +2534,7 @@ ORACLES = {
     "text_ngrams": ORACLE_TEXT_NGRAMS,
     "text_pack_batches": ORACLE_TEXT_PACK_BATCHES,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
+    "kg_bgp_star": ORACLE_KG_BGP_STAR,
     "kg_triangles": ORACLE_KG_TRIANGLES,
     "kg_degree_stats": ORACLE_KG_DEGREE_STATS,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
