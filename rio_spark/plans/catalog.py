@@ -1940,6 +1940,32 @@ def q_streaming_tumbling(spark, sf_dir) -> DataFrame:
 ORACLE_STREAMING_TUMBLING = ORACLE_EVENTS_TUMBLING
 
 
+def q_streaming_enrich(spark, sf_dir) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming/enrich.py): the events
+    stream inner-joins the static customer dimension (stateless in Spark's
+    model — no watermark, no state store), aggregated per nation in
+    complete mode; the availableNow replay's final state must equal the
+    batch join + group-by."""
+    from rio_spark.streaming.enrich import enrich_stream
+    from rio_spark.streaming.windows import read_event_stream
+
+    ev = read_event_stream(spark, sf_dir, glob="events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = enrich_stream(ev, cust, ev["user_id"] + 1 == cust["c_custkey"])
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return _drain_stream(agg, "complete")
+
+
+ORACLE_STREAMING_ENRICH = """
+SELECT c_nationkey, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events JOIN customer ON user_id + 1 = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_kg_pipeline_e2e(spark, sf_dir) -> DataFrame:
     """The per-group body of run_pipeline as ONE chained oracle-checked plan:
     turn stream -> salted assembly -> NT kernel extraction -> owl:sameAs
@@ -2419,6 +2445,7 @@ QUERIES = {
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sessions": q_streaming_sessions,
     "streaming_kg_extract": q_streaming_kg_extract,
+    "streaming_enrich": q_streaming_enrich,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
@@ -2570,6 +2597,7 @@ ORACLES = {
     "streaming_tumbling": ORACLE_STREAMING_TUMBLING,
     "streaming_sessions": ORACLE_STREAMING_SESSIONS,
     "streaming_kg_extract": ORACLE_STREAMING_KG_EXTRACT,
+    "streaming_enrich": ORACLE_STREAMING_ENRICH,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,

@@ -97,3 +97,58 @@ def test_error_line_numbers_preserved(docs_df):
         for r in jvm.select("doc_id", "error_line").collect()
     }
     assert ("d1", 10) in lines and ("d1", 11) in lines and ("d1", 12) in lines
+
+
+def test_fuzz_differential(spark):
+    """Seeded random NT/NQ corpus over every line-shape class: the two paths
+    must agree row-for-row.  One Spark job for the whole corpus (per-example
+    Spark jobs would make hypothesis-style fuzzing minutes-slow)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    iris = ["http://a/x", "http://b/y#z", "urn:uuid:1", "rel/ative", "", "http://ü.example/p"]
+    lits = ["plain", "with space", "", "tab\there", "esc\\n", "q\\\"uote", "\x01ctl"]
+    langs = ["en", "EN-GB", "x-priv", "123", "i-klingon", "toolonglanglabel-ok"]
+
+    def term(kind):
+        if kind == "iri":
+            return f"<{rng.choice(iris)}>"
+        if kind == "bnode":
+            return f"_:b{rng.randrange(4)}"
+        lit = f'"{rng.choice(lits)}"'
+        tail = rng.randrange(3)
+        if tail == 1:
+            return lit + "@" + rng.choice(langs)
+        if tail == 2:
+            return lit + f"^^<{rng.choice(iris)}>"
+        return lit
+
+    def line():
+        shape = rng.randrange(10)
+        if shape == 0:
+            return ""
+        if shape == 1:
+            return "  # comment"
+        if shape == 2:
+            return "garbage " + str(rng.randrange(100))
+        s = term(rng.choice(["iri", "bnode"]))
+        p = term("iri")
+        o = term(rng.choice(["iri", "bnode", "lit", "lit"]))
+        g = " " + term("iri") if shape == 3 else ""
+        end = " . # trail" if shape == 4 else " ."
+        sep = "\t" if shape == 5 else " "
+        return sep.join([s, p, o]) + g + end
+
+    docs = []
+    for i in range(300):
+        fmt = "nt" if i % 2 else "nq"
+        n = rng.randrange(0, 12)
+        body = "\n".join(line() for _ in range(n))
+        if i % 7 == 0:
+            body = body.replace("\n", "\r\n")
+        docs.append((f"f{i}", fmt, body))
+    df = spark.createDataFrame(docs, "conv_id string, format string, text string")
+    jvm = _rows(extract_triples(df, jvm_fast=True))
+    py = _rows(extract_triples(df, jvm_fast=False))
+    assert jvm == py
+    assert len(jvm) > 300  # corpus actually produced triples and error rows
