@@ -248,15 +248,15 @@ def tfidf_top(
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n = docs.groupBy().agg(F.count("*").alias("n_docs")).withColumn("__k", F.lit(1))
+    # N is a bounded scalar constant (one driver count; parquet sources
+    # answer it from footer metadata) — a lit beats a degenerate 1-row join
+    n_docs = docs.count()
     score = (
-        F.col("tf").cast("double") * F.col("n_docs").cast("double")
+        F.col("tf").cast("double") * F.lit(float(n_docs))
         / F.col("df").cast("double")
     )
     return (
         tf.join(F.broadcast(df), "token")
-        .withColumn("__k", F.lit(1))
-        .join(F.broadcast(n), "__k")
         .select("doc_id", "token", "tf", "df", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("token").asc())
         .limit(k)

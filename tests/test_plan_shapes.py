@@ -72,3 +72,41 @@ def test_connected_components_no_collect_set(spark):
     src = inspect.getsource(canonicalize.connected_components)
     assert "collect_set" not in src
     assert "collect_list" not in src
+
+
+def test_tfidf_broadcasts_vocab_and_count(spark):
+    """df (vocabulary-sized) and N (one row) must broadcast — the tf table
+    is the corpus-sized side and must never shuffle for these joins."""
+    from rio_spark.plans.catalog import q_text_tfidf
+
+    plan = plan_of(q_text_tfidf(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_has_no_global_window(spark):
+    """The prefix sum must be per-bucket: a single-partition exchange means
+    the cumsum serialized onto one task."""
+    from rio_spark.plans.catalog import q_text_pack_batches
+
+    plan = plan_of(q_text_pack_batches(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_is_equijoin_only(spark):
+    from rio_spark.plans.catalog import q_kg_triangles
+
+    plan = plan_of(q_kg_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bgp_star_is_equijoin_only(spark):
+    from rio_spark.plans.catalog import q_kg_bgp_star
+
+    plan = plan_of(q_kg_bgp_star(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
