@@ -46,7 +46,10 @@ BENCH_QUERIES = [
     "events_funnel",
     "text_tfidf",
     "text_ngrams",
+    "text_pack_batches",
+    "events_quantiles",
     "kg_triangles",
+    "kg_bgp_star",
     "kg_pagerank",
 ]
 
