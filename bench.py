@@ -228,6 +228,17 @@ def main() -> None:
         if name == "kg_extract_nt":
             extract_rows = n
 
+    # steady-state pass for the expensive queries: the cold numbers above
+    # include per-query whole-stage-codegen compilation and first-touch
+    # costs a long-running cluster job pays once; the warm re-run is what
+    # repeats. Only queries over 2s re-run, bounding the extra wall time.
+    steady: dict[str, float] = {}
+    for name, cold in timings.items():
+        if cold > 2.0:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            steady[name] = round(time.perf_counter() - t0, 3)
+
     # headline: extraction throughput over a pre-materialized synthetic
     # transcript corpus (mixed free-text + embedded Turtle/NT conformance
     # docs), measuring assembly + kernel extraction only — not generation.
@@ -242,6 +253,7 @@ def main() -> None:
         "value": throughput["triples_per_sec"],
         "unit": "triples/sec",
         "queries": timings,
+        "queries_steady": steady,
         "sf": sf,
         "cpus": cpus,
         "bench_total_wall_sec": total,

@@ -171,3 +171,44 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     return (
         deg.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Synchronous label propagation (community detection) over node-ordered
+    undirected edges ``(a, b)`` -> (node, label) after ``iters`` rounds.
+
+    Each round, every node adopts the most frequent label among its
+    neighbors, ties broken by the lexicographically smallest label — the
+    deterministic variant (classic LPA breaks ties randomly, which can
+    never be oracle-checked).  Per round: one join of labels onto the
+    symmetrized edges (shuffle on the node key), one (node, label) count
+    aggregate (map-side combinable), one row_number window per node — the
+    window partitions by node, so it parallelizes like the aggregates
+    (hub-safe: a hub's candidate set is its distinct neighbor LABELS, which
+    shrinks as communities converge, never its neighbor list)."""
+    from pyspark.sql import Window as W
+
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    from rio_spark.session import coalesced_shuffles
+
+    w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    with coalesced_shuffles(edges.sparkSession):
+        for _ in range(iters):
+            neigh = sym.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            ).select(F.col("u").alias("node"), "label")
+            counts = neigh.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+    return labels

@@ -1475,6 +1475,38 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
 )
 
 
+def q_kg_communities(spark, sf_dir) -> DataFrame:
+    """Deterministic label propagation (2 sync rounds, min-label tie-break)
+    over the sampled part co-occurrence graph."""
+    from rio_spark.operators.graph import label_propagation
+
+    return label_propagation(_part_cooccurrence(spark, sf_dir, node_mod=7), iters=2)
+
+
+ORACLE_KG_COMMUNITIES = (
+    "WITH e AS ("
+    + _ORACLE_COOC.format(extra="WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0")
+    + """),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+c1 AS (
+  SELECT s.u AS node, l.label, count(*) AS cnt
+  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY s.u, l.label
+),
+l1 AS (
+  SELECT node, label FROM c1
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+),
+c2 AS (
+  SELECT s.u AS node, l.label, count(*) AS cnt
+  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY s.u, l.label
+)
+SELECT node, label FROM c2
+QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+"""
+)
+
+
 def q_events_funnel(spark, sf_dir) -> DataFrame:
     """Ordered funnel view -> click -> purchase (strictly increasing ts)."""
     from rio_spark.operators.sessions import funnel_counts
@@ -2494,6 +2526,7 @@ QUERIES = {
     "kg_bgp_star": q_kg_bgp_star,
     "kg_triangles": q_kg_triangles,
     "kg_degree_stats": q_kg_degree_stats,
+    "kg_communities": q_kg_communities,
     "events_funnel": q_events_funnel,
     # -- similarity family ---------------------------------------------------
     "sim_topk": q_sim_topk,
@@ -2564,6 +2597,7 @@ ORACLES = {
     "kg_bgp_star": ORACLE_KG_BGP_STAR,
     "kg_triangles": ORACLE_KG_TRIANGLES,
     "kg_degree_stats": ORACLE_KG_DEGREE_STATS,
+    "kg_communities": ORACLE_KG_COMMUNITIES,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "kg_pagerank": ORACLE_KG_PAGERANK,
     "text_tokens": ORACLE_TEXT_TOKENS,
