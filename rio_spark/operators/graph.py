@@ -212,3 +212,39 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
     return labels
+
+
+def k_hop_reachable(edges: DataFrame, sources: DataFrame, k: int = 2) -> DataFrame:
+    """Nodes reachable within ``k`` hops of ``sources`` over node-ordered
+    undirected edges -> (node, hops) with hops = the MINIMUM hop count
+    (deterministic).
+
+    Distributed BFS with a frontier: per hop, one join of the frontier onto
+    the symmetrized edges (shuffle on the node key) plus an anti-join
+    against the visited set so the frontier only carries NEW nodes — the
+    visited set grows, the frontier stays proportional to the expansion
+    rim, and no neighborhood is ever materialized as an array (hub-safe).
+    """
+    from rio_spark.session import coalesced_shuffles
+
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    visited = sources.select(F.col(sources.columns[0]).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hops")
+    )
+    frontier = visited
+    with coalesced_shuffles(edges.sparkSession):
+        for hop in range(1, k + 1):
+            nxt = (
+                sym.join(frontier.withColumnRenamed("node", "u"), "u")
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .select("node", F.lit(hop).alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+    return visited

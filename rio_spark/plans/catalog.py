@@ -1475,6 +1475,40 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
 )
 
 
+def q_kg_reachability(spark, sf_dir) -> DataFrame:
+    """2-hop BFS from the %70 seed parts over the sampled co-occurrence
+    graph (distributed frontier expansion, operators/graph.py)."""
+    from rio_spark.operators.graph import k_hop_reachable
+
+    edges = _part_cooccurrence(spark, sf_dir, node_mod=7)
+    nodes = edges.select(F.col("a").alias("node")).unionByName(
+        edges.select(F.col("b").alias("node"))
+    ).distinct()
+    sources = nodes.filter(F.col("node") % 70 == 0)
+    return k_hop_reachable(edges, sources, k=2)
+
+
+ORACLE_KG_REACHABILITY = (
+    "WITH e AS ("
+    + _ORACLE_COOC.format(extra="WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0")
+    + """),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+v0 AS (SELECT DISTINCT u AS node FROM sym WHERE u % 70 = 0),
+f1 AS (
+  SELECT DISTINCT s.v AS node FROM sym s JOIN v0 ON s.u = v0.node
+  WHERE s.v NOT IN (SELECT node FROM v0)
+),
+f2 AS (
+  SELECT DISTINCT s.v AS node FROM sym s JOIN f1 ON s.u = f1.node
+  WHERE s.v NOT IN (SELECT node FROM v0 UNION ALL SELECT node FROM f1)
+)
+SELECT node, CAST(0 AS INT) AS hops FROM v0
+UNION ALL SELECT node, CAST(1 AS INT) FROM f1
+UNION ALL SELECT node, CAST(2 AS INT) FROM f2
+"""
+)
+
+
 def q_kg_communities(spark, sf_dir) -> DataFrame:
     """Deterministic label propagation (2 sync rounds, min-label tie-break)
     over the sampled part co-occurrence graph."""
@@ -2527,6 +2561,7 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_degree_stats": q_kg_degree_stats,
     "kg_communities": q_kg_communities,
+    "kg_reachability": q_kg_reachability,
     "events_funnel": q_events_funnel,
     # -- similarity family ---------------------------------------------------
     "sim_topk": q_sim_topk,
@@ -2598,6 +2633,7 @@ ORACLES = {
     "kg_triangles": ORACLE_KG_TRIANGLES,
     "kg_degree_stats": ORACLE_KG_DEGREE_STATS,
     "kg_communities": ORACLE_KG_COMMUNITIES,
+    "kg_reachability": ORACLE_KG_REACHABILITY,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "kg_pagerank": ORACLE_KG_PAGERANK,
     "text_tokens": ORACLE_TEXT_TOKENS,

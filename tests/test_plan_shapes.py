@@ -110,3 +110,13 @@ def test_bgp_star_is_equijoin_only(spark):
     plan = plan_of(q_kg_bgp_star(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_queries_use_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort."""
+    from rio_spark.plans.catalog import q_text_ngrams, q_text_tfidf, q_text_vocab
+
+    for q in (q_text_vocab, q_text_tfidf, q_text_ngrams):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan
