@@ -2536,11 +2536,6 @@ QUERIES = {
     "kg_pipeline_e2e": q_kg_pipeline_e2e,
     "kg_entity_linking": q_kg_entity_linking,
     "kg_link_blocked": q_kg_link_blocked,
-    "kg_format_ntriples": q_kg_format_ntriples,
-    "kg_format_nquads": q_kg_format_nquads,
-    "kg_format_turtle": q_kg_format_turtle,
-    "kg_format_trig": q_kg_format_trig,
-    "kg_format_rdfxml": q_kg_format_rdfxml,
     # -- dedup family --------------------------------------------------------
     "dedup_exact": q_dedup_exact,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -2575,6 +2570,11 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
     # -- TAIL: driver-green in round 2 (CORRECTNESS_r02), parity-covered ----
+    "kg_format_ntriples": q_kg_format_ntriples,
+    "kg_format_nquads": q_kg_format_nquads,
+    "kg_format_turtle": q_kg_format_turtle,
+    "kg_format_trig": q_kg_format_trig,
+    "kg_format_rdfxml": q_kg_format_rdfxml,
     "sim_pairs": q_sim_pairs,
     "events_json_props": q_events_json_props,
     "events_distinct_users": q_events_distinct_users,
