@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--n-groups", type=int, default=8)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--compact", action="store_true",
+                    help="after committing, compact buckets with many small "
+                         "files (maintenance window: see GraphStore.compact)")
+    ap.add_argument("--compact-min-files", type=int, default=8)
     args = ap.parse_args()
 
     from rio_spark.session import get_spark
@@ -63,7 +67,15 @@ def main() -> None:
         dictionary=entity_dictionary(spark),
         n_groups=args.n_groups,
     )
-    print(json.dumps(report.__dict__, default=str))
+    out = report.__dict__
+    if args.compact:
+        out["compaction"] = {
+            str(b): {"files_before": fb, "files_after": fa}
+            for b, (fb, fa) in store.compact(
+                spark, min_files=args.compact_min_files
+            ).items()
+        }
+    print(json.dumps(out, default=str))
 
 
 if __name__ == "__main__":

@@ -114,3 +114,55 @@ class GraphStore:
         spark.createDataFrame(
             [(snapshot_id, partition_hash, triple_count, time.time())], LINEAGE_SCHEMA
         ).write.mode("append").parquet(self.lineage_dir)
+
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 8,
+        target_rows_per_file: int = 1_000_000,
+    ) -> dict[int, tuple[int, int]]:
+        """Small-file compaction: every incremental merge appends one file
+        per task per touched bucket, so a long-lived store accumulates
+        thousands of KB-sized files per bucket and scan/planning cost
+        explodes — THE standing maintenance problem of incremental lakehouse
+        tables.  Buckets at or above ``min_files`` files are rewritten into
+        ``ceil(rows / target_rows_per_file)`` files.
+
+        Returns {bucket: (files_before, files_after)}.  Only oversized
+        buckets are touched (cost scales with fragmentation, not table
+        size), contents are bit-preserved (pinned by tests), and lineage is
+        untouched — compaction is invisible to resume.  Like merge, the
+        directory swap is the parquet stand-in for Iceberg's transactional
+        ``rewrite_data_files``; readers racing the swap can see a partial
+        bucket, so schedule it in the maintenance window.
+        """
+        import math
+        import shutil
+
+        report: dict[int, tuple[int, int]] = {}
+        root = Path(self.graph_dir)
+        if not root.exists():
+            return report
+        for bdir in sorted(root.glob("p_bucket=*")):
+            files = sorted(bdir.glob("*.parquet"))
+            if len(files) < min_files:
+                continue
+            bucket = int(bdir.name.split("=", 1)[1])
+            df = spark.read.parquet(str(bdir))
+            n = df.count()
+            n_out = max(1, math.ceil(n / target_rows_per_file))
+            staging = bdir.with_name(bdir.name + ".compacting")
+            if staging.exists():
+                shutil.rmtree(staging)
+            df.repartition(n_out).write.mode("overwrite").parquet(str(staging))
+            for f in files:
+                f.unlink()
+            moved = 0
+            for f in sorted(staging.glob("*.parquet")):
+                f.rename(bdir / f.name)
+                moved += 1
+            shutil.rmtree(staging)
+            report[bucket] = (len(files), moved)
+        return report

@@ -114,3 +114,50 @@ def test_lineage_rows_recorded(spark, tmp_path, pipeline_inputs):
     assert len(lin2) == 6
     snapB = lin2[lin2.input_snapshot_id == "snapB"]
     assert (snapB.triple_count == 0).all()  # nothing new: merge dedups
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
+    """compact() must cut per-bucket file counts without changing a single
+    quad, leave under-threshold buckets alone, keep lineage untouched, and
+    leave MERGE dedup working against the rewritten files."""
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    # 6 incremental merges -> >= 6 files per touched bucket
+    for i in range(6):
+        batch = spark.createDataFrame(
+            [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(20)],
+            "subject string, predicate string, object string, graph string",
+        )
+        store.merge(spark, batch)
+    store.commit_lineage(spark, "snap-c", "gX", 120)
+
+    def rows():
+        return sorted(
+            map(tuple, store.graph(spark).select(
+                "subject", "predicate", "object", "graph", "p_bucket").collect())
+        )
+
+    def files_per_bucket():
+        from pathlib import Path
+        return {
+            d.name: len(list(d.glob("*.parquet")))
+            for d in Path(store.graph_dir).glob("p_bucket=*")
+        }
+
+    before_rows, before_files = rows(), files_per_bucket()
+    assert max(before_files.values()) >= 6
+
+    report = store.compact(spark, min_files=4, target_rows_per_file=10_000)
+    assert report, "no bucket compacted"
+    after_files = files_per_bucket()
+    for bdir, (fb, fa) in ((f"p_bucket={b}", v) for b, v in report.items()):
+        assert after_files[bdir] == fa < fb
+    assert rows() == before_rows
+    assert store.lineage(spark).count() == 1
+    # merge after compaction still dedups against the rewritten files
+    dup = spark.createDataFrame(
+        [("<http://e/s0_0>", "<http://p/x>", '"0"', None)],
+        "subject string, predicate string, object string, graph string",
+    )
+    assert store.merge(spark, dup) == 0
