@@ -300,6 +300,7 @@ def pack_sequences(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    numeric_ids: bool = True,
 ) -> DataFrame:
     """Sequence packing: assign documents to training batches ("bins") so
     each bin holds ~``budget`` tokens, without splitting a document — the
@@ -321,10 +322,20 @@ def pack_sequences(
     from rio_spark.operators.dedup import tokens_col
 
     spark = docs.sparkSession
+    # numeric ids bucket by modulo; string ids by a cross-engine-stable
+    # md5-derived hash (the (bucket, doc_id) pair is still a total order)
+    id_expr = F.col(id_col).cast("long" if numeric_ids else "string")
     d = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        id_expr.alias("doc_id"),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
-    ).withColumn("bucket", F.col("doc_id") % n_buckets)
+    )
+    if numeric_ids:
+        d = d.withColumn("bucket", (F.col("doc_id") % n_buckets).cast("long"))
+    else:
+        d = d.withColumn(
+            "bucket",
+            (F.ascii(F.substring(F.md5("doc_id"), 1, 1)) % n_buckets).cast("long"),
+        )
     w = W.partitionBy("bucket").orderBy("doc_id")
     d = d.withColumn("local_cum", F.sum("n_tokens").over(w))
     totals = sorted(

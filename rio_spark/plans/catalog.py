@@ -2211,6 +2211,121 @@ SELECT u AS doc_id, least(u, min(v)) AS group_id FROM reach GROUP BY u
 """
 
 
+def q_corpus_clean_e2e(spark, sf_dir) -> DataFrame:
+    """The training-data cleaning chain as ONE oracle-checked plan —
+    the text-side analogue of kg_pipeline_e2e: documents (+injected exact
+    dups) -> language-ID gate (en) -> quality gate (>= 0.55) -> exact dedup
+    (keep group representative) -> near-dup LSH+CC (keep cluster leader) ->
+    sequence packing into 512-token bins.  Every stage is the catalog
+    operator, composed unchanged."""
+    from rio_spark.operators.dedup import near_dup_groups, normalize_text
+    from rio_spark.operators.text import language_id, pack_sequences, quality_score
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    dups = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.concat(F.lit("dup"), F.col("doc_id").cast("string")).alias("doc_id"), "text")
+    )
+    base = docs.unionByName(dups)
+
+    lang_ok = language_id(base).filter(F.col("lang_pred") == "en").select("doc_id")
+    qual_ok = quality_score(base).filter(F.col("quality") >= 0.55).select("doc_id")
+    keep1 = base.join(lang_ok, "doc_id").join(qual_ok, "doc_id")
+
+    keyed = keep1.withColumn("h", F.md5(normalize_text(F.col("text"))))
+    reps = keyed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    keep2 = keyed.join(reps, ["h", "doc_id"]).select("doc_id", "text")
+
+    nd = near_dup_groups(keep2, k=4, bands=2)
+    keep3 = (
+        keep2.join(nd, "doc_id", "left")
+        .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+    return pack_sequences(keep3, budget=512, n_buckets=16, numeric_ids=False)
+
+
+def _oracle_corpus_clean() -> str:
+    # reuse the language-ID and quality oracles verbatim, re-pointed at the
+    # dup-injected base set; assert the retarget actually happened so a
+    # future reformat fails at import, not at gate time (ADVICE r2 pattern)
+    lang_sql = _oracle_langid().replace("FROM documents", "FROM base")
+    qual_sql = _oracle_quality().replace("FROM documents", "FROM base")
+    assert "FROM documents" not in lang_sql and "FROM documents" not in qual_sql
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'dup' || doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+lang AS ({lang_sql}),
+qual AS ({qual_sql}),
+keep1 AS (
+  SELECT b.doc_id, b.text FROM base b
+  JOIN lang l ON l.doc_id = b.doc_id AND l.lang_pred = 'en'
+  JOIN qual q ON q.doc_id = b.doc_id AND q.quality >= 0.55
+),
+keyed AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+  FROM keep1
+),
+keep2 AS (
+  SELECT doc_id, text FROM keyed
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)
+),
+t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM keep2
+),
+s AS (SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM t),
+m AS (SELECT doc_id,
+  list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
+  list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+  list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+  list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+FROM s),
+bnd AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_sig FROM m
+  UNION ALL
+  SELECT doc_id, 1, mh2 || '|' || mh3 FROM m
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+  FROM bnd a JOIN bnd b2
+    ON a.band_id = b2.band_id AND a.band_sig = b2.band_sig AND a.doc_id < b2.doc_id
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+),
+grp AS (SELECT u AS doc_id, least(u, min(v)) AS gid FROM reach GROUP BY u),
+keep3 AS (
+  SELECT k.doc_id, k.text FROM keep2 k
+  LEFT JOIN grp g ON g.doc_id = k.doc_id
+  WHERE g.doc_id IS NULL OR g.gid = k.doc_id
+),
+d AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+         CAST(ascii(substr(md5(doc_id), 1, 1)) % 16 AS BIGINT) AS bucket
+  FROM keep3
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, (cum - n_tokens) // 512 AS bin_id FROM c
+"""
+
+
 def q_text_stratified_sample(spark, sf_dir) -> DataFrame:
     """Deterministic per-language top-5 sample of documents: rank by
     md5(doc_id) inside each lang stratum — the down-sampling step of a
@@ -2558,6 +2673,7 @@ QUERIES = {
     "kg_communities": q_kg_communities,
     "kg_reachability": q_kg_reachability,
     "events_funnel": q_events_funnel,
+    "corpus_clean_e2e": q_corpus_clean_e2e,
     # -- similarity family ---------------------------------------------------
     "sim_topk": q_sim_topk,
     "sim_pairs_lsh": q_sim_pairs_lsh,
@@ -2634,6 +2750,7 @@ ORACLES = {
     "kg_degree_stats": ORACLE_KG_DEGREE_STATS,
     "kg_communities": ORACLE_KG_COMMUNITIES,
     "kg_reachability": ORACLE_KG_REACHABILITY,
+    "corpus_clean_e2e": _oracle_corpus_clean(),
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "kg_pagerank": ORACLE_KG_PAGERANK,
     "text_tokens": ORACLE_TEXT_TOKENS,
