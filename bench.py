@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "kg_triangles",
     "kg_bgp_star",
     "kg_pagerank",
+    "corpus_clean_e2e",
 ]
 
 
