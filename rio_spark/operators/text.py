@@ -337,7 +337,9 @@ def pack_sequences(
             (F.ascii(F.substring(F.md5("doc_id"), 1, 1)) % n_buckets).cast("long"),
         )
     w = W.partitionBy("bucket").orderBy("doc_id")
-    d = d.withColumn("local_cum", F.sum("n_tokens").over(w))
+    # consumed by the totals collect AND the final join: cache the slim
+    # (id, count, bucket, cumsum) projection so upstream runs once
+    d = d.withColumn("local_cum", F.sum("n_tokens").over(w)).cache()
     totals = sorted(
         d.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect(),
         key=lambda r: r["bucket"],

@@ -2237,7 +2237,10 @@ def q_corpus_clean_e2e(spark, sf_dir) -> DataFrame:
 
     keyed = keep1.withColumn("h", F.md5(normalize_text(F.col("text"))))
     reps = keyed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    keep2 = keyed.join(reps, ["h", "doc_id"]).select("doc_id", "text")
+    # the gate+dedup upstream (language-ID scoring, quality joins) feeds the
+    # LSH self-join AND the leader filter AND the packer — cache the slim
+    # survivor set so it computes once (same pattern as kg_pipeline_e2e)
+    keep2 = keyed.join(reps, ["h", "doc_id"]).select("doc_id", "text").cache()
 
     nd = near_dup_groups(keep2, k=4, bands=2)
     keep3 = (
