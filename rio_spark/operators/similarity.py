@@ -62,10 +62,13 @@ def cosine_pairs_above(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("n"),
     )
     a, b = e.alias("a"), e.alias("b")
     av, bv = F.col("a.v"), F.col("b.v")
-    cos = _dot(av, bv) / (_norm(av) * _norm(bv))
+    # per-vector norms hoisted out of the per-pair expression (same fix as
+    # cosine_pairs_lsh; identical arithmetic, so oracle values are unchanged)
+    cos = _dot(av, bv) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -139,14 +142,18 @@ def cosine_pairs_lsh(
     embedding regions) are split at runtime by AQE skew-join."""
     if planes is None:
         planes = collect_planes(embeddings, n_planes, id_col, vec_col)
+    # norms are per-VECTOR: computing them inside the pair expression would
+    # re-run the O(dim) aggregate per candidate pair (measured ~2-3x the
+    # whole query); precompute once per row and carry the scalar
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         _bucket_expr(vec_col, planes).alias("bucket"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("n"),
     )
     a, b = e.alias("a"), e.alias("b")
     av, bv = F.col("a.v"), F.col("b.v")
-    cos = _dot(av, bv) / (_norm(av) * _norm(bv))
+    cos = _dot(av, bv) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
