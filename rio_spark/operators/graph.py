@@ -63,7 +63,10 @@ def pagerank(
     manufactures ties). No driver-side scalars; everything is
     joins/aggregations on the edge key.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # the edge set feeds every iteration's contribution join plus the
+    # outdegree and node derivations — cache it so the upstream (often a
+    # distinct over a big fact table) runs once, not once per consumer
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -78,7 +81,8 @@ def pagerank(
         if seeded
         else F.lit(0.0)
     )
-    nodes = nodes.select("node", eps.alias("eps"))
+    # consumed by the teleport join in every iteration — cache alongside e
+    nodes = nodes.select("node", eps.alias("eps")).cache()
     ranks = nodes.select(
         "node", "eps", (F.lit(1.0) + F.col("eps")).alias("rank")
     )
