@@ -139,6 +139,10 @@ def cooccurrence_edges(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        # every downstream analytic fans out over the edge set (triangles
+        # reference it three times, BFS/LPA once per round) — cache the slim
+        # distinct pairs so the group self-join runs once
+        .cache()
     )
 
 
