@@ -1311,7 +1311,9 @@ def q_kg_bgp_star(spark, sf_dir) -> DataFrame:
     from rio_spark.operators.bgp import bgp_join
 
     docs = assemble_documents_salted(_nt_transcripts(spark, sf_dir))
-    triples = triples_of(extract_triples(docs, fmt="nt"))
+    # each BGP pattern is a separate scan of the triples — cache so the
+    # Python extraction stage runs once, not once per pattern
+    triples = triples_of(extract_triples(docs, fmt="nt")).cache()
     return bgp_join(
         triples,
         [
