@@ -215,9 +215,19 @@ def main() -> None:
     spark = get_spark(app_name=f"rio_spark_bench_{cpus}", cores=cpus,
                       shuffle_partitions=max(cpus, 8))
 
-    # warm the JVM + Arrow path once so per-query timings measure the plan,
-    # not session startup
-    QUERIES["tpch_q6"](spark, sf_dir).collect()
+    # HEADLINE FIRST (r3 verdict): the throughput probe runs before the query
+    # sweep so it measures a fresh JVM — r03's driver number degraded only
+    # because 35 queries of heap/codegen pressure preceded the probe. The
+    # probe's internal warm pass still amortizes Python-worker spin-up; we
+    # emit BOTH the cold first run and the steady best-of-rest.
+    throughput = _throughput_stage(spark, sf, cpus, n_runs=5)
+
+    # second headline: a sugar-dense Turtle/TriG-only corpus. The mixed
+    # corpus is NT-dominated (fast line kernels); this row stresses the
+    # recursive Turtle kernel (~5 MB/s single-threaded) the headline would
+    # otherwise flatter.
+    throughput_turtle = _throughput_stage(spark, sf, cpus, n_runs=4,
+                                          formats=("ttl", "trig"))
 
     timings: dict[str, float] = {}
     extract_rows = 0
@@ -240,12 +250,6 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).count()
             steady[name] = round(time.perf_counter() - t0, 3)
 
-    # headline: extraction throughput over a pre-materialized synthetic
-    # transcript corpus (mixed free-text + embedded Turtle/NT conformance
-    # docs), measuring assembly + kernel extraction only — not generation.
-    # First pass warms Python workers + JIT; the steady-state pass is the
-    # number that scales with cores and is what a long 100TB job sees.
-    throughput = _throughput_stage(spark, sf, cpus)
     timings["kg_throughput"] = throughput["seconds"]
 
     total = round(sum(timings.values()), 3)
@@ -260,6 +264,7 @@ def main() -> None:
         "bench_total_wall_sec": total,
         "kg_extract_rows_sf_tables": extract_rows,
         "throughput": throughput,
+        "throughput_turtle_heavy": throughput_turtle,
         # criterion-mirror single-threaded parser x format grid (bytes/sec),
         # the number comparable to the reference's own bench harness
         "parser_format_grid": grid_mode(emit=False),
@@ -269,7 +274,7 @@ def main() -> None:
 
 
 def _throughput_stage(spark, sf: str, cpus: int, n_convs: int | None = None,
-                      n_runs: int = 4) -> dict:
+                      n_runs: int = 4, formats: tuple[str, ...] | None = None) -> dict:
     import shutil
     import tempfile
 
@@ -292,6 +297,13 @@ def _throughput_stage(spark, sf: str, cpus: int, n_convs: int | None = None,
     if n_convs is None:
         n_convs = max(2000, int(400_000 * sf_num))
     corpus = load_corpus()
+    if formats is not None:
+        # format-restricted corpus (e.g. sugar-dense Turtle/TriG only); keep
+        # only positive docs of those formats, shrink conv count to keep the
+        # wall time comparable (the recursive kernel is ~5x slower per byte)
+        corpus = [d for d in corpus
+                  if d.format in formats and d.kind != "negative_syntax"]
+        n_convs = max(1000, n_convs // 4)
 
     tmp = tempfile.mkdtemp(prefix="rio_spark_bench_")
     try:
@@ -324,10 +336,13 @@ def _throughput_stage(spark, sf: str, cpus: int, n_convs: int | None = None,
             "n_convs": n_convs,
             "n_turns": n_turns,
             "n_triples": n_triples,
+            "formats": list(formats) if formats else "mixed",
             "seconds": round(dt, 3),
+            "seconds_cold": round(runs[0], 3),
             "all_runs_sec": [round(x, 2) for x in runs],
             "turns_per_sec": round(n_turns / dt, 1),
             "triples_per_sec": round(n_triples / dt, 1),
+            "triples_per_sec_cold": round(n_triples / runs[0], 1),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

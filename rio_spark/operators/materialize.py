@@ -22,12 +22,16 @@ committed partitions) is what the tests pin down.
 
 from __future__ import annotations
 
+import re
 import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 GRAPH_COLUMNS = ["subject", "predicate", "object", "graph", "p_bucket"]
+# strict bucket-dir name: `p_bucket=N` only — `.compacting` / `.old` staging
+# dirs from an interrupted compaction must never parse as buckets
+_BUCKET_DIR_RE = re.compile(r"^p_bucket=(\d+)$")
 LINEAGE_SCHEMA = (
     "input_snapshot_id string, partition_hash string, triple_count long, committed_at double"
 )
@@ -47,6 +51,9 @@ class GraphStore:
             return spark.createDataFrame(
                 [], "subject string, predicate string, object string, graph string, p_bucket int"
             )
+        # a crashed compact() may have left .compacting/.old staging dirs that
+        # would confuse partition discovery; roll them forward/back first
+        self._recover_interrupted_compactions(Path(self.graph_dir))
         return spark.read.parquet(self.graph_dir)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
@@ -137,6 +144,13 @@ class GraphStore:
         directory swap is the parquet stand-in for Iceberg's transactional
         ``rewrite_data_files``; readers racing the swap can see a partial
         bucket, so schedule it in the maintenance window.
+
+        Crash safety: the rewrite is an atomic-rename swap — the staged dir
+        is fully written (``_SUCCESS`` present) before the live dir is
+        renamed aside, then the staged dir renamed in, then the old dir
+        deleted.  A crash in ANY window leaves either the originals or the
+        complete rewrite reachable; ``_recover_interrupted_compactions``
+        (called on every compact() entry) rolls the bucket forward or back.
         """
         import math
         import shutil
@@ -145,24 +159,60 @@ class GraphStore:
         root = Path(self.graph_dir)
         if not root.exists():
             return report
+        self._recover_interrupted_compactions(root)
         for bdir in sorted(root.glob("p_bucket=*")):
+            m = _BUCKET_DIR_RE.match(bdir.name)
+            if m is None:  # never treat .compacting/.old staging dirs as buckets
+                continue
             files = sorted(bdir.glob("*.parquet"))
             if len(files) < min_files:
                 continue
-            bucket = int(bdir.name.split("=", 1)[1])
+            bucket = int(m.group(1))
             df = spark.read.parquet(str(bdir))
             n = df.count()
             n_out = max(1, math.ceil(n / target_rows_per_file))
             staging = bdir.with_name(bdir.name + ".compacting")
+            old = bdir.with_name(bdir.name + ".old")
             if staging.exists():
                 shutil.rmtree(staging)
             df.repartition(n_out).write.mode("overwrite").parquet(str(staging))
-            for f in files:
-                f.unlink()
-            moved = 0
-            for f in sorted(staging.glob("*.parquet")):
-                f.rename(bdir / f.name)
-                moved += 1
-            shutil.rmtree(staging)
-            report[bucket] = (len(files), moved)
+            # swap: live -> .old, staged -> live, drop .old. Each step is one
+            # rename; recovery can always finish or undo a half-done swap.
+            bdir.rename(old)
+            staging.rename(bdir)
+            shutil.rmtree(old)
+            report[bucket] = (len(files), len(sorted(bdir.glob("*.parquet"))))
         return report
+
+    @staticmethod
+    def _recover_interrupted_compactions(root: Path) -> None:
+        """Finish or roll back bucket swaps a crashed compact() left behind.
+
+        States (staging = ``p_bucket=N.compacting``, old = ``p_bucket=N.old``,
+        live = ``p_bucket=N``):
+
+        * live present, staging present  -> crash before the swap started;
+          the originals are authoritative, drop the staging dir.
+        * live absent, staging present   -> crash between the two renames;
+          staging was fully written (it is only ever renamed in after
+          ``_SUCCESS``), so promote it to live, then drop any ``.old``.
+        * live present, old present      -> crash after the swap, before
+          cleanup; the rewrite is live, drop the ``.old`` leftovers.
+        """
+        import shutil
+
+        for staging in sorted(root.glob("p_bucket=*.compacting")):
+            live = staging.with_name(staging.name[: -len(".compacting")])
+            old = live.with_name(live.name + ".old")
+            if live.exists():
+                shutil.rmtree(staging)
+            else:
+                staging.rename(live)
+                if old.exists():
+                    shutil.rmtree(old)
+        for old in sorted(root.glob("p_bucket=*.old")):
+            live = old.with_name(old.name[: -len(".old")])
+            if live.exists():
+                shutil.rmtree(old)
+            else:  # staged dir was lost before the swap completed: roll back
+                old.rename(live)

@@ -161,3 +161,60 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
         "subject string, predicate string, object string, graph string",
     )
     assert store.merge(spark, dup) == 0
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A compact() interrupted in ANY window must never lose a bucket's data:
+    the next store access (graph() or compact()) rolls the swap forward or
+    back. Simulates all three crash states by hand-arranging the staging dirs
+    a real crash would leave behind (ADVICE r3: the old unlink-then-rename
+    order could leave the live bucket empty, and `.compacting` dirs made
+    int('N.compacting') raise on the next run)."""
+    import shutil
+    from pathlib import Path
+
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=1)
+    for i in range(5):
+        batch = spark.createDataFrame(
+            [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(10)],
+            "subject string, predicate string, object string, graph string",
+        )
+        store.merge(spark, batch)
+
+    def rows():
+        return sorted(
+            map(tuple, store.graph(spark).select(
+                "subject", "predicate", "object", "graph").collect())
+        )
+
+    expected = rows()
+    root = Path(store.graph_dir)
+    live = root / "p_bucket=0"
+
+    # state 1: crash BEFORE the swap — staging (possibly partial) beside live.
+    staging = root / "p_bucket=0.compacting"
+    shutil.copytree(live, staging)
+    (staging / "junk.tmp").write_text("partial")
+    assert rows() == expected  # graph() recovered: originals authoritative
+    assert not staging.exists()
+
+    # state 2: crash BETWEEN the renames — live gone, complete staging + .old.
+    old = root / "p_bucket=0.old"
+    live.rename(old)
+    shutil.copytree(old, staging)
+    assert rows() == expected  # staging promoted to live, .old dropped
+    assert live.exists() and not staging.exists() and not old.exists()
+
+    # state 3: crash AFTER the swap, before cleanup — live + leftover .old.
+    shutil.copytree(live, old)
+    assert rows() == expected
+    assert not old.exists()
+
+    # and compact() itself runs clean over a recovered store, skipping any
+    # non-integer dir names
+    (root / "p_bucket=weird.compacting").mkdir()
+    report = store.compact(spark, min_files=4, target_rows_per_file=10_000)
+    assert 0 in report
+    assert rows() == expected
