@@ -246,6 +246,8 @@ from rio_spark.kernels.shared import is_pn_chars, is_pn_chars_u
 
 
 def _parse_generalized_term(s: str, i: int, line: int) -> tuple:
+    if i >= len(s):  # truncated statement (fuzz-found): error row, not IndexError
+        raise ParseError("UnexpectedChar", "unexpected end of line", line, i)
     c = s[i]
     if c in "?$":
         # variable name chars per the reference's OBSERVABLE parse_variable

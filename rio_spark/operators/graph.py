@@ -14,10 +14,11 @@ materializing action). Cross-engine determinism against the DuckDB oracle
 (the same iterations unrolled as CTEs) comes from a per-node seeded teleport
 vector that keeps every rank off the rounding grid — see ``pagerank``.
 
-Simplification, documented: dangling-node mass is dropped (the classic
-"simplified PageRank"); total mass therefore leaks per iteration. Handling
-it costs one extra scalar aggregate per iteration and is orthogonal to the
-plan shape being demonstrated.
+Dangling-node mass: by default dropped (the classic "simplified
+PageRank", total mass leaks per iteration); ``conserve_mass=True`` adds
+the standard correction — one scalar aggregate per iteration summing the
+rank stranded on out-degree-0 nodes, redistributed uniformly through a
+1-row broadcast join (never a driver collect in the loop).
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ def pagerank(
     damping: float = 0.85,
     round_to: int = 4,
     seeded: bool = True,
+    conserve_mass: bool = False,
 ) -> DataFrame:
     """Directed edges -> (node, rank) after ``iters`` PageRank iterations,
     in the scale-invariant (N-normalized) form:
@@ -62,6 +64,22 @@ def pagerank(
     Intermediates are deliberately unrounded (intermediate rounding is what
     manufactures ties). No driver-side scalars; everything is
     joins/aggregations on the edge key.
+
+    ``conserve_mass=True`` redistributes dangling-node mass: the update
+    becomes rank_{t+1}(v) = (1-d)*(1+eps(v)) + d*(sum contribs + DM/N)
+    where DM = sum of rank_t over out-degree-0 nodes and N = node count —
+    the exact N-normalized form of handling dangling nodes as linking to
+    everyone. Cost: the dangling flag is computed once (one join, folded
+    into the cached node set); per iteration, one map-side-combinable
+    scalar aggregate over the rank vector plus a 1-row broadcast join.
+    Determinism protocol: DM is rounded to 4 decimals before
+    redistribution — DM is a full-vector float sum whose accumulation
+    order differs between engines (and runs) by ~1e-8 absolute, so pinning
+    the ONE shared scalar to a coarse grid keeps every per-node rank an
+    exact function of exact inputs; the eps terms keep the final
+    per-node rounding tie-free exactly as in the simplified mode. DM is
+    O(N) in magnitude while ranks are O(1), so the 4-decimal pin costs
+    ~1e-10 relative accuracy — far below the final ``round_to`` grid.
     """
     # the edge set feeds every iteration's contribution join plus the
     # outdegree and node derivations — cache it so the upstream (often a
@@ -82,9 +100,20 @@ def pagerank(
         else F.lit(0.0)
     )
     # consumed by the teleport join in every iteration — cache alongside e
-    nodes = nodes.select("node", eps.alias("eps")).cache()
+    nodes = nodes.select("node", eps.alias("eps"))
+    carry = ["node", "eps"]
+    if conserve_mass:
+        # static dangling flag folded into the cached node set: one join
+        # here instead of an anti-join per iteration
+        nodes = nodes.join(
+            outdeg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
+            "node", "left",
+        ).select("node", "eps", F.col("__has_out").isNull().alias("dang"))
+        carry = ["node", "eps", "dang"]
+    nodes = nodes.cache()
+    n_nodes = float(nodes.count()) if conserve_mass else 0.0
     ranks = nodes.select(
-        "node", "eps", (F.lit(1.0) + F.col("eps")).alias("rank")
+        *carry, (F.lit(1.0) + F.col("eps")).alias("rank")
     )
     # pure-JVM loop: materialize each iteration eagerly UNDER re-enabled AQE
     # coalescing (session.coalesced_shuffles) — with the global coalescing
@@ -96,20 +125,37 @@ def pagerank(
 
     with coalesced_shuffles(edges.sparkSession):
         for _ in range(iters):
+            r = ranks.select("node", "rank")
             contrib = (
-                e.join(ranks, e["src"] == ranks["node"])
+                e.join(r, e["src"] == r["node"])
                 .join(outdeg, "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
             )
-            ranks = nodes.join(contrib, "node", "left").select(
-                "node",
-                "eps",
+            inflow = F.coalesce(F.col("c"), F.lit(0.0))
+            joined = nodes.join(contrib, "node", "left")
+            if conserve_mass:
+                # one scalar aggregate (map-side combinable) + 1-row
+                # broadcast join; DM pinned to 4 decimals — see docstring
+                dm = (
+                    ranks.filter("dang")
+                    .agg(F.coalesce(F.round(F.sum("rank"), 4), F.lit(0.0)).alias("__dm"))
+                    .withColumn("__k", F.lit(1))
+                )
+                joined = joined.withColumn("__k", F.lit(1)).join(F.broadcast(dm), "__k")
+                inflow = inflow + F.col("__dm") / F.lit(n_nodes)
+            ranks = joined.select(
+                *carry,
                 (
                     F.lit(base) * (F.lit(1.0) + F.col("eps"))
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.lit(damping) * inflow
                 ).alias("rank"),
             ).localCheckpoint(eager=True)
+    # the eager localCheckpoint cut the final ranks' lineage, so the cached
+    # edge/node sets are no longer reachable from the returned plan —
+    # release them here instead of leaking blocks for the session lifetime
+    e.unpersist()
+    nodes.unpersist()
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
@@ -129,7 +175,14 @@ def cooccurrence_edges(
     join — the quadratic per-group fan-out is bounded at the source, which
     is the knob that keeps downstream triangle/path analytics feasible on a
     hub-heavy 100 TB graph (sampled-subgraph estimates are the standard
-    practice at that scale)."""
+    practice at that scale).
+
+    Cache lifetime: the returned DataFrame is ``.cache()``d because every
+    downstream analytic fans out over it (triangle_count reads it three
+    times, LPA/BFS once per round) — the CALLER owns the lifecycle and
+    should ``.unpersist()`` it after the last consuming action (a
+    long-lived session running many graphs would otherwise accumulate
+    blocks until the LRU evicts them)."""
     a = items.select(F.col(group_col).alias("__g"), F.col(item_col).alias("a"))
     if node_mod:
         a = a.filter(F.col("a") % node_mod == 0)

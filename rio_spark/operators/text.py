@@ -318,7 +318,14 @@ def pack_sequences(
     each bin may overflow ``budget`` by at most one document (a document
     straddling a boundary lands wholly in the bin its first token falls
     in); integer arithmetic end-to-end, so the assignment is
-    engine-exact."""
+    engine-exact.
+
+    Cache lifetime: the slim (id, count, bucket, cumsum) projection is
+    ``.cache()``d because both the totals collect and the returned plan
+    consume it; the RETURNED DataFrame reads that cache, so the caller
+    owns ``unpersist`` — call ``spark.catalog.clearCache()`` (or unpersist
+    via the plan) after the last action if running many packings in one
+    long-lived session."""
     from rio_spark.operators.dedup import tokens_col
 
     spark = docs.sparkSession

@@ -12,6 +12,13 @@ Conventions that make the side-by-side hash comparison meaningful:
   column ops that DuckDB can replicate, then run the REAL pipeline
   (salted assembly -> mapInPandas grammar kernels -> joins) on the Spark
   side while the oracle computes the expected output directly.
+
+Cache lifetime: a few queries ``.cache()`` a multi-consumed extraction that
+the RETURNED plan reads, so they cannot unpersist before the caller's
+action. The contract is caller-owned: one-shot harnesses (the driver, the
+bench sweep, run_query.py) run the action and exit or rely on LRU
+eviction; a long-lived session composing many catalog queries should call
+``spark.catalog.clearCache()`` between batches.
 """
 
 from __future__ import annotations
@@ -1280,6 +1287,84 @@ SELECT node, round(rank, 4) AS rank FROM r3
 """
 
 
+def q_kg_pagerank_conserve(spark, sf_dir) -> DataFrame:
+    """PageRank with dangling-mass conservation (graph.py conserve_mass=True):
+    every 'p' node of the bipartite order->part graph is dangling, so this
+    exercises the correction hard — rank stranded on sinks is summed (one
+    map-side-combinable scalar per iteration, pinned to 4 decimals for
+    cross-engine determinism) and redistributed uniformly via a 1-row
+    broadcast join. Same plan shape as kg_pagerank otherwise."""
+    from rio_spark.operators.graph import pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iters=3, conserve_mass=True)
+
+
+# the conserve-mass iterations unrolled: dN = the dangling rank sum AFTER
+# round(·,4) — the determinism pin shared with the Spark side (a full-vector
+# float sum's accumulation order is engine-dependent at ~1e-8; pinning the
+# ONE shared scalar to a coarse grid removes the only cross-engine freedom,
+# while the md5-seeded eps keeps the final per-node rounding tie-free)
+ORACLE_KG_PAGERANK_CONSERVE = """
+WITH e AS (
+  SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem
+),
+nodes AS (
+  SELECT node,
+         CAST(ascii(substr(md5(node), 1, 1)) AS DOUBLE) / CAST(7777 AS DOUBLE) AS eps
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+nodes2 AS (
+  SELECT nodes.node, nodes.eps, (outdeg.src IS NULL) AS dang
+  FROM nodes LEFT JOIN outdeg ON nodes.node = outdeg.src
+),
+r0 AS (SELECT node, eps, dang, CAST(1.0 AS DOUBLE) + eps AS rank FROM nodes2),
+d1 AS (SELECT coalesce(round(sum(rank), 4), CAST(0 AS DOUBLE)) AS dm FROM r0 WHERE dang),
+c1 AS (
+  SELECT e.dst AS node, sum(r0.rank / outdeg.deg) AS c
+  FROM e JOIN r0 ON e.src = r0.node JOIN outdeg ON e.src = outdeg.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nodes2.node, nodes2.eps, nodes2.dang,
+         CAST(0.15 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + nodes2.eps)
+         + CAST(0.85 AS DOUBLE) * (coalesce(c1.c, 0) + d1.dm / nn.n) AS rank
+  FROM nodes2 LEFT JOIN c1 USING (node), d1, nn
+),
+d2 AS (SELECT coalesce(round(sum(rank), 4), CAST(0 AS DOUBLE)) AS dm FROM r1 WHERE dang),
+c2 AS (
+  SELECT e.dst AS node, sum(r1.rank / outdeg.deg) AS c
+  FROM e JOIN r1 ON e.src = r1.node JOIN outdeg ON e.src = outdeg.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nodes2.node, nodes2.eps, nodes2.dang,
+         CAST(0.15 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + nodes2.eps)
+         + CAST(0.85 AS DOUBLE) * (coalesce(c2.c, 0) + d2.dm / nn.n) AS rank
+  FROM nodes2 LEFT JOIN c2 USING (node), d2, nn
+),
+d3 AS (SELECT coalesce(round(sum(rank), 4), CAST(0 AS DOUBLE)) AS dm FROM r2 WHERE dang),
+c3 AS (
+  SELECT e.dst AS node, sum(r2.rank / outdeg.deg) AS c
+  FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT nodes2.node, nodes2.eps,
+         CAST(0.15 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + nodes2.eps)
+         + CAST(0.85 AS DOUBLE) * (coalesce(c3.c, 0) + d3.dm / nn.n) AS rank
+  FROM nodes2 LEFT JOIN c3 USING (node), d3, nn
+)
+SELECT node, round(rank, 4) AS rank FROM r3
+"""
+
+
 def q_text_vocab(spark, sf_dir) -> DataFrame:
     """Vocabulary building: top-100 tokens by document frequency,
     deterministic (df desc, token asc) tie-break."""
@@ -2034,6 +2119,40 @@ GROUP BY c_nationkey
 """
 
 
+def q_streaming_join(spark, sf_dir) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/join.py): click
+    events matched to the same user's purchases within the following hour —
+    both sides unbounded, state bounded by watermark + time-range predicate.
+    The availableNow replay's append output must equal the batch interval
+    join; output is the deterministic (click_id, purchase_id) pair set."""
+    from rio_spark.streaming.join import interval_join_streams
+    from rio_spark.streaming.windows import read_event_stream
+
+    ev = read_event_stream(spark, sf_dir, glob="events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    pairs = interval_join_streams(
+        clicks, purchases, key="user_id",
+        left_ts="c_ts", right_ts="p_ts", within="1 hour",
+    )
+    return _drain_stream(pairs.select("click_id", "purchase_id"), "append")
+
+
+ORACLE_STREAMING_JOIN = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 def q_kg_pipeline_e2e(spark, sf_dir) -> DataFrame:
     """The per-group body of run_pipeline as ONE chained oracle-checked plan:
     turn stream -> salted assembly -> NT kernel extraction -> owl:sameAs
@@ -2626,91 +2745,95 @@ FROM documents
 # query with a green driver row. All 60+ run in the local full-value parity
 # suite (tests/test_oracle_parity.py) every round regardless of position.
 QUERIES = {
-    # -- never driver-checked before round 3 (front of the cap window) ------
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_tumbling": q_streaming_tumbling,
-    "streaming_sessions": q_streaming_sessions,
-    "streaming_kg_extract": q_streaming_kg_extract,
-    "streaming_enrich": q_streaming_enrich,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "events_asof": q_events_asof,
-    "orders_semi": q_orders_semi,
-    "customers_anti": q_customers_anti,
-    # -- KG core (S1-S7 extraction, filters, assembly, CC, linking, K1-K5) --
-    "kg_extract_nt": q_kg_extract_nt,
-    "kg_extract_turtle": q_kg_extract_turtle,
-    "kg_extract_rdfxml": q_kg_extract_rdfxml,
-    "kg_extract_nquads": q_kg_extract_nquads,
-    "kg_extract_trig": q_kg_extract_trig,
-    "kg_extract_gnq": q_kg_extract_gnq,
-    "kg_extract_gtrig": q_kg_extract_gtrig,
-    "kg_predicate_counts": q_kg_predicate_counts,
-    "kg_error_recovery": q_kg_error_recovery,
-    "kg_assembly": q_kg_assembly,
-    "kg_connected_components": q_kg_connected_components,
-    "kg_cc_skewed": q_kg_cc_skewed,
-    "kg_pagerank": q_kg_pagerank,
-    "kg_canonicalize": q_kg_canonicalize,
-    "kg_pipeline_e2e": q_kg_pipeline_e2e,
-    "kg_entity_linking": q_kg_entity_linking,
-    "kg_link_blocked": q_kg_link_blocked,
-    # -- dedup family --------------------------------------------------------
-    "dedup_exact": q_dedup_exact,
-    "dedup_lsh_pairs": q_dedup_lsh_pairs,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_jaccard_skewed": q_dedup_jaccard_skewed,
-    "dedup_lsh_capped": q_dedup_lsh_capped,
-    "dedup_near_groups": q_dedup_near_groups,
-    "text_pii_mask": q_text_pii_mask,
-    "text_stratified_sample": q_text_stratified_sample,
-    "text_vocab": q_text_vocab,
-    "text_tfidf": q_text_tfidf,
-    "text_ngrams": q_text_ngrams,
-    "text_pack_batches": q_text_pack_batches,
-    "events_quantiles": q_events_quantiles,
-    "kg_bgp_star": q_kg_bgp_star,
-    "kg_triangles": q_kg_triangles,
-    "kg_degree_stats": q_kg_degree_stats,
-    "kg_communities": q_kg_communities,
-    "kg_reachability": q_kg_reachability,
-    "events_funnel": q_events_funnel,
-    "corpus_clean_e2e": q_corpus_clean_e2e,
-    # -- similarity family ---------------------------------------------------
+    # -- round-4 window [0:50): new this round first, then the 29 queries
+    # whose newest driver row was round-2 vintage (re-rotated per the r3
+    # verdict), then refreshed flagships whose code round 4 touched ------
+    "streaming_join": q_streaming_join,
+    "kg_pagerank_conserve": q_kg_pagerank_conserve,
+    # -- r02-vintage rotation block ----------------------------------------
+    "kg_format_ntriples": q_kg_format_ntriples,
+    "kg_format_nquads": q_kg_format_nquads,
+    "kg_format_turtle": q_kg_format_turtle,
+    "kg_format_trig": q_kg_format_trig,
+    "kg_format_rdfxml": q_kg_format_rdfxml,
     "sim_topk": q_sim_topk,
+    "sim_pairs": q_sim_pairs,
     "sim_pairs_lsh": q_sim_pairs_lsh,
     "sim_ann_topk": q_sim_ann_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_ivf_cells": q_sim_ivf_cells,
     "sim_ivf_refined": q_sim_ivf_refined,
     "sim_ivf_topk": q_sim_ivf_topk,
-    # -- event-stream batch ops ----------------------------------------------
-    "events_sessionize": q_events_sessionize,
-    "events_tumbling": q_events_tumbling,
-    # -- TAIL: driver-green in round 2 (CORRECTNESS_r02), parity-covered ----
-    "kg_format_ntriples": q_kg_format_ntriples,
-    "kg_format_nquads": q_kg_format_nquads,
-    "kg_format_turtle": q_kg_format_turtle,
-    "kg_format_trig": q_kg_format_trig,
-    "kg_format_rdfxml": q_kg_format_rdfxml,
-    "sim_pairs": q_sim_pairs,
-    "events_json_props": q_events_json_props,
-    "events_distinct_users": q_events_distinct_users,
-    "window_topk": q_window_topk,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_rollup": q_tpch_rollup,
     "tpch_pivot": q_tpch_pivot,
+    "window_topk": q_window_topk,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "events_json_props": q_events_json_props,
+    "events_distinct_users": q_events_distinct_users,
     "text_tokens": q_text_tokens,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_bpe_tokens": q_text_bpe_tokens,
+    # -- refreshed r03-green flagships (fill to index 49) ------------------
+    "kg_pagerank": q_kg_pagerank,
+    "corpus_clean_e2e": q_corpus_clean_e2e,
+    "kg_pipeline_e2e": q_kg_pipeline_e2e,
+    "kg_extract_nt": q_kg_extract_nt,
+    "kg_extract_turtle": q_kg_extract_turtle,
+    "kg_error_recovery": q_kg_error_recovery,
+    "kg_assembly": q_kg_assembly,
+    "kg_connected_components": q_kg_connected_components,
+    "kg_entity_linking": q_kg_entity_linking,
+    "kg_bgp_star": q_kg_bgp_star,
+    "dedup_exact": q_dedup_exact,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_near_groups": q_dedup_near_groups,
+    "text_pack_batches": q_text_pack_batches,
+    "events_asof": q_events_asof,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_enrich": q_streaming_enrich,
+    "multimodal_features": q_multimodal_features,
+    # -- TAIL [50:]: driver-green in round 3 (CORRECTNESS_r03), freshness
+    # enforced by tests/test_oracle_parity.py (newest green row must be the
+    # latest recorded round) ----------------------------------------------
+    "streaming_tumbling": q_streaming_tumbling,
+    "streaming_sessions": q_streaming_sessions,
+    "streaming_kg_extract": q_streaming_kg_extract,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "orders_semi": q_orders_semi,
+    "customers_anti": q_customers_anti,
+    "kg_extract_rdfxml": q_kg_extract_rdfxml,
+    "kg_extract_nquads": q_kg_extract_nquads,
+    "kg_extract_trig": q_kg_extract_trig,
+    "kg_extract_gnq": q_kg_extract_gnq,
+    "kg_extract_gtrig": q_kg_extract_gtrig,
+    "kg_predicate_counts": q_kg_predicate_counts,
+    "kg_cc_skewed": q_kg_cc_skewed,
+    "kg_canonicalize": q_kg_canonicalize,
+    "kg_link_blocked": q_kg_link_blocked,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_skewed": q_dedup_jaccard_skewed,
+    "dedup_lsh_capped": q_dedup_lsh_capped,
+    "text_pii_mask": q_text_pii_mask,
+    "text_stratified_sample": q_text_stratified_sample,
+    "text_vocab": q_text_vocab,
+    "text_tfidf": q_text_tfidf,
+    "text_ngrams": q_text_ngrams,
+    "events_quantiles": q_events_quantiles,
+    "kg_triangles": q_kg_triangles,
+    "kg_degree_stats": q_kg_degree_stats,
+    "kg_communities": q_kg_communities,
+    "kg_reachability": q_kg_reachability,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -2758,6 +2881,8 @@ ORACLES = {
     "corpus_clean_e2e": _oracle_corpus_clean(),
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "kg_pagerank": ORACLE_KG_PAGERANK,
+    "kg_pagerank_conserve": ORACLE_KG_PAGERANK_CONSERVE,
+    "streaming_join": ORACLE_STREAMING_JOIN,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),

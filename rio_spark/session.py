@@ -72,6 +72,14 @@ def coalesced_shuffles(spark: SparkSession):
     coalescing is a no-op.  Affects only actions executed INSIDE the block
     (AQE reads the conf at execution time) — lazily returned DataFrames
     executed later use the restored setting.
+
+    NOT thread-safe: the override mutates session-wide SQL conf, so a query
+    racing on the same SparkSession from another thread (or a nested /
+    overlapping scope) would inherit coalescing for its Python stages — the
+    exact setting the global disable exists to avoid.  All repo harnesses
+    (driver, bench, CLI, tests) execute queries sequentially on one thread;
+    concurrent callers should give each workload its own
+    ``spark.newSession()`` (per-session conf) instead of sharing this one.
     """
     key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev = spark.conf.get(key, "false")

@@ -44,22 +44,38 @@ def test_driver_cap_window_covers_unchecked_queries():
     queries (observed: CORRECTNESS_r02 rows == queries()[0:50]).  Every
     query that has never had a driver row must therefore sit inside the
     first 50; anything past index 49 must already be green in a recorded
-    CORRECTNESS file.  Guards the dict ordering against casual additions."""
+    CORRECTNESS file.  Guards the dict ordering against casual additions.
+
+    Freshness (r3 ADVICE): a tail query's newest green row must come from
+    the LATEST recorded round — a stale green (two or more rounds old)
+    means the query sat past the cap through a round of code changes and
+    must be re-rotated into the window.  Self-maintaining: the rounds are
+    read from the CORRECTNESS files themselves, no hand-kept ledger."""
     import json
     import pathlib
+    import re
 
-    recorded: set[str] = set()
+    newest_green: dict[str, int] = {}
+    latest_round = 0
     for f in pathlib.Path(".").glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        latest_round = max(latest_round, rnd)
         rows = json.loads(f.read_text())
-        recorded |= {
-            n for n, r in rows.items()
-            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-        }
+        for n, r in rows.items():
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match"):
+                newest_green[n] = max(newest_green.get(n, 0), rnd)
     names = list(QUERIES)
-    uncovered_tail = [n for n in names[50:] if n not in recorded]
+    uncovered_tail = [n for n in names[50:] if n not in newest_green]
     assert not uncovered_tail, (
         f"queries past the 50-cap with no green driver row: {uncovered_tail} "
         "— move them into the first 50 entries of QUERIES"
+    )
+    stale_tail = [
+        (n, newest_green[n]) for n in names[50:] if newest_green[n] < latest_round
+    ]
+    assert not stale_tail, (
+        f"tail queries whose newest green driver row predates round "
+        f"{latest_round}: {stale_tail} — rotate them into the first 50"
     )
 
 
