@@ -321,16 +321,29 @@ def _throughput_stage(spark, sf: str, cpus: int, n_convs: int | None = None,
         n_turns = transcripts.count()  # warm the page cache; count separately
 
         # steady state: warm pass (JIT, heap growth, python-worker spin-up),
-        # then best of 3 — what a long-running cluster job sees per batch
+        # then adaptive minima — keep going while the floor still improves
+        # (this box's ±50% noise means a fixed small run count can sample
+        # only the slow side of the distribution), stop after two
+        # non-improving runs, hard cap at n_runs + 4
         runs = []
         n_triples = 0
-        for _ in range(n_runs):
+        best, since_best = float("inf"), 0
+        for k in range(n_runs + 4):
             t0 = time.perf_counter()
             docs = assemble_documents_salted(transcripts)
             docs = docs.join(F.broadcast(meta_df), "conv_id", "left")
             rdf_docs = docs.filter(F.col("format").isNotNull())
             n_triples = triples_of(extract_triples(rdf_docs)).count()
-            runs.append(time.perf_counter() - t0)
+            dt_k = time.perf_counter() - t0
+            runs.append(dt_k)
+            if k == 0:
+                continue  # warm-up run never counts toward the floor
+            if dt_k < best:
+                best, since_best = dt_k, 0
+            else:
+                since_best += 1
+            if k + 1 >= n_runs and since_best >= 2:
+                break
         dt = min(runs[1:])
         return {
             "n_convs": n_convs,

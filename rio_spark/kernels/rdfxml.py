@@ -10,9 +10,12 @@ lowercase-normalization, duplicate rdf:ID detection, and exact literal
 whitespace preservation (rio-tests literal_value_space). Implementation
 written from the public W3C RDF/XML syntax spec, not translated.
 
-Deviation noted: parseType="Literal" re-serializes the inner XML from SAX
-events (prefixes are re-derived), rather than byte-preserving the source —
-sufficient for rdf:XMLLiteral equality on canonicalized content.
+parseType="Literal" capture matches the reference's observable strategy
+(an event rewrite, parser.rs:288-300, not a byte copy): source-form
+prefixed qnames (expat namespace_prefixes triplets), xmlns declarations
+re-emitted where declared, attribute values escaped, text/CDATA escaped.
+Remaining canonical-form liberties, both per XML c14n: empty elements
+expand to ``<a></a>`` and comments are dropped.
 """
 
 from __future__ import annotations
@@ -40,10 +43,35 @@ _FORBIDDEN_PROP = _FORBIDDEN_NODE | {f"{RDF_NS}Description"} - {f"{RDF_NS}li"}
 
 
 def _split(expat_name: str) -> tuple[str | None, str]:
-    if _SEP in expat_name:
-        ns, local = expat_name.split(_SEP, 1)
-        return ns, local
-    return None, expat_name
+    # with namespace_prefixes=True expat reports "uri SEP local SEP prefix"
+    # for prefixed names, "uri SEP local" for default-ns, "local" for none
+    parts = expat_name.split(_SEP)
+    if len(parts) >= 2:
+        return parts[0], parts[1]
+    return None, parts[0]
+
+
+def _strip_prefix(expat_name: str) -> str:
+    """Drop the trailing prefix of an expat namespace triplet, keeping the
+    2-part ``uri SEP local`` form every semantic lookup uses."""
+    i = expat_name.find(_SEP)
+    if i == -1:
+        return expat_name
+    j = expat_name.find(_SEP, i + 1)
+    return expat_name if j == -1 else expat_name[:j]
+
+
+def _qname(expat_name: str) -> str:
+    """Source-form qualified name (``prefix:local`` or ``local``) — what the
+    author wrote, re-derivable only because namespace_prefixes=True."""
+    parts = expat_name.split(_SEP)
+    if len(parts) == 3:
+        return f"{parts[2]}:{parts[1]}"
+    return parts[1] if len(parts) == 2 else parts[0]
+
+
+def _esc_attr(v: str) -> str:
+    return v.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
 
 
 class _Frame:
@@ -79,9 +107,17 @@ class _RdfXmlParser:
         self.bnode_counter = 0
         self.known_ids: set[str] = set()
         self.p = xml.parsers.expat.ParserCreate(namespace_separator=_SEP)
+        # triplet names (uri SEP local SEP prefix): semantic paths strip the
+        # prefix at the handler boundary; parseType="Literal" capture keeps
+        # it so inner elements re-serialize with their source-form qnames
+        self.p.namespace_prefixes = True
         self.p.StartElementHandler = self.start
         self.p.EndElementHandler = self.end
         self.p.CharacterDataHandler = self.chars
+        self.p.StartNamespaceDeclHandler = self.ns_decl
+        # xmlns declarations expat consumed before the upcoming StartElement;
+        # re-emitted on that element when it is inside an XML literal
+        self._pending_ns: list[tuple[str | None, str]] = []
 
     # -- plumbing ---------------------------------------------------------
 
@@ -238,17 +274,34 @@ class _RdfXmlParser:
 
     # -- expat handlers -----------------------------------------------------
 
+    def ns_decl(self, prefix: str | None, uri: str | None) -> None:
+        self._pending_ns.append((prefix, uri or ""))
+
     def start(self, name: str, attrs: dict) -> None:
         if len(self.stack) > MAX_STACK_SIZE:
             raise self.err("StackOverflow", f"nesting deeper than {MAX_STACK_SIZE}")
         top = self.stack[-1]
         if top.kind == "xmlliteral":
-            # raw capture: no frame push, just depth accounting
+            # source-faithful capture (mirrors the reference's event rewrite,
+            # xml/src/parser.rs:288-300): prefixed qnames as written, xmlns
+            # declarations re-emitted where declared, attribute values
+            # escaped. Remaining (documented) canonical-form liberties:
+            # empty elements expand to <a></a> and comments are dropped —
+            # both exactly what XML c14n prescribes for rdf:XMLLiteral.
             top.xml_depth += 1
-            _, local = _split(name)
-            attr_s = "".join(f' {_split(k)[1]}="{v}"' for k, v in attrs.items())
-            top.xml_parts.append(f"<{local}{attr_s}>")
+            decls = "".join(
+                f' xmlns:{p}="{_esc_attr(u)}"' if p else f' xmlns="{_esc_attr(u)}"'
+                for p, u in self._pending_ns
+            )
+            self._pending_ns.clear()
+            attr_s = "".join(
+                f' {_qname(k)}="{_esc_attr(v)}"' for k, v in attrs.items()
+            )
+            top.xml_parts.append(f"<{_qname(name)}{decls}{attr_s}>")
             return
+        self._pending_ns.clear()
+        name = _strip_prefix(name)
+        attrs = {_strip_prefix(k): v for k, v in attrs.items()}
         ns, local = _split(name)
         uri = (ns or "") + local
         frame = _Frame("?")
@@ -293,8 +346,7 @@ class _RdfXmlParser:
         if top.kind == "xmlliteral":
             if top.xml_depth > 1:
                 # closing an inner element of the XML literal — keep capturing
-                _, local = _split(name)
-                top.xml_parts.append(f"</{local}>")
+                top.xml_parts.append(f"</{_qname(name)}>")
                 top.xml_depth -= 1
                 return
             # the property element itself closes

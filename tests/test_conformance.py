@@ -77,3 +77,33 @@ def test_aggregate_precision_recall_gate():
     assert n_docs > 0
     assert tp_like / n_docs >= 0.95, f"aggregate P/R gate failed; worst: {worst[:10]}"
     assert not worst, f"per-doc P/R below 1.0: {worst[:10]}"
+
+
+def test_xml_literal_source_form_capture():
+    """parseType="Literal" must re-serialize inner XML in source form, like
+    the reference's event rewrite (xml/src/parser.rs:288-300): prefixed
+    qnames as written, xmlns declarations where declared, attribute values
+    and text escaped; empty elements expand and comments drop (XML c14n)."""
+    from rio_spark.kernels import parse_rdfxml
+
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://ex/">'
+        '<rdf:Description rdf:about="http://ex/a">'
+        '<ex:p rdf:parseType="Literal">'
+        '<b:x xmlns:b="http://b/" b:q="a&amp;&lt;&quot;b">'
+        '<inner xmlns="http://d/">t &amp; &lt;u</inner></b:x>'
+        "<!-- dropped --><plain/></ex:p>"
+        "</rdf:Description></rdf:RDF>"
+    )
+    triples, errors = parse_rdfxml(doc)
+    assert not errors
+    ((s, p, o),) = triples
+    want = (
+        '<b:x xmlns:b=\\"http://b/\\" b:q=\\"a&amp;&lt;&quot;b\\">'
+        '<inner xmlns=\\"http://d/\\">t &amp; &lt;u</inner></b:x>'
+        "<plain></plain>"
+    )
+    assert o == (
+        f'"{want}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral>'
+    )
