@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "text_ngrams",
     "text_pack_batches",
     "events_quantiles",
+    "events_retention",
+    "text_repetition",
     "kg_triangles",
     "kg_bgp_star",
     "kg_pagerank",

@@ -105,3 +105,30 @@ def funnel_counts(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first active week,
+    counted in each subsequent week — the standard engagement matrix, and at
+    corpus scale the shape of "contributor freshness" reporting.
+
+    -> (cohort_week, week_offset, n_users). Three map-side-combinable hash
+    aggregations and one equi-join on user_id: (user, week) dedup, per-user
+    min week, then count per (cohort, offset) — count(*) suffices because
+    the dedup already made (user, week) unique, so no expensive
+    count-distinct state. Weeks are integer epoch-week numbers (epoch div
+    604800), timezone-free and engine-exact — never date_trunc, whose week
+    anchoring is a classic cross-engine trap."""
+    week = F.floor(ntz_epoch(F.col(ts_col)) / F.lit(604800)).cast("long")
+    d = (
+        events.select(F.col(user_col).alias("user_id"), week.alias("w"))
+        .distinct()
+    )
+    first = d.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        d.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

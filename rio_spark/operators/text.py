@@ -364,3 +364,35 @@ def pack_sequences(
             F.expr("(off + local_cum - n_tokens) div " + str(int(budget))).alias("bin_id"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Repetition quality signal: the fraction of duplicated token n-grams
+    per document — the standard "repetitious document" filter of LLM corpus
+    cleaning (boilerplate, keyword stuffing, decoding loops score high).
+
+    Pure column ops over the shared shingle derivation (dedup.shingles_col,
+    so the signal is definitionally consistent with the near-dup family);
+    whole-stage codegen end-to-end, no shuffle — embarrassingly parallel at
+    any scale. Shingles and the dup count are let-bound: Catalyst inlines
+    duplicated alias expressions into every use site, which would otherwise
+    re-tokenize the text four times.
+    """
+    from rio_spark.operators.dedup import let_col, shingles_col
+
+    stats = let_col(
+        shingles_col(F.col(text_col), n),
+        lambda sh: let_col(
+            F.size(sh) - F.size(F.array_distinct(sh)),
+            lambda dups: F.struct(
+                F.size(sh).cast("int").alias("n_grams"),
+                dups.cast("int").alias("n_dup_grams"),
+                F.round(dups / F.size(sh), 4).alias("dup_fraction"),
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), stats.alias("st")
+    ).select("doc_id", "st.n_grams", "st.n_dup_grams", "st.dup_fraction")

@@ -2153,6 +2153,53 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_text_repetition(spark, sf_dir) -> DataFrame:
+    """Repetition quality signal (operators/text.py repetition_stats):
+    duplicated-trigram fraction per document, the Gopher-style repetitious-
+    document filter; shares the shingle derivation with the dedup family."""
+    from rio_spark.operators.text import repetition_stats
+
+    return repetition_stats(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH t AS ({_TOKS_SQL}),
+s AS (SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM t)
+SELECT doc_id,
+       CAST(len(sh) AS INT) AS n_grams,
+       CAST(len(sh) - len(list_distinct(sh)) AS INT) AS n_dup_grams,
+       round((len(sh) - len(list_distinct(sh))) / CAST(len(sh) AS DOUBLE), 4)
+         AS dup_fraction
+FROM s
+"""
+
+
+def q_events_retention(spark, sf_dir) -> DataFrame:
+    """Weekly cohort retention matrix (operators/sessions.py
+    cohort_retention): engagement analytics over the events stream —
+    dedup + two hash aggregations + one user-key join, no windows."""
+    from rio_spark.operators.sessions import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w FROM events
+),
+d AS (SELECT DISTINCT user_id, w FROM e),
+f AS (SELECT user_id, min(w) AS cohort_week FROM d GROUP BY user_id)
+SELECT f.cohort_week, d.w - f.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_kg_pipeline_e2e(spark, sf_dir) -> DataFrame:
     """The per-group body of run_pipeline as ONE chained oracle-checked plan:
     turn stream -> salted assembly -> NT kernel extraction -> owl:sameAs
@@ -2750,6 +2797,8 @@ QUERIES = {
     # verdict), then refreshed flagships whose code round 4 touched ------
     "streaming_join": q_streaming_join,
     "kg_pagerank_conserve": q_kg_pagerank_conserve,
+    "text_repetition": q_text_repetition,
+    "events_retention": q_events_retention,
     # -- r02-vintage rotation block ----------------------------------------
     "kg_format_ntriples": q_kg_format_ntriples,
     "kg_format_nquads": q_kg_format_nquads,
@@ -2798,11 +2847,11 @@ QUERIES = {
     "text_pack_batches": q_text_pack_batches,
     "events_asof": q_events_asof,
     "streaming_dedup": q_streaming_dedup,
-    "streaming_enrich": q_streaming_enrich,
-    "multimodal_features": q_multimodal_features,
     # -- TAIL [50:]: driver-green in round 3 (CORRECTNESS_r03), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be the
     # latest recorded round) ----------------------------------------------
+    "streaming_enrich": q_streaming_enrich,
+    "multimodal_features": q_multimodal_features,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sessions": q_streaming_sessions,
     "streaming_kg_extract": q_streaming_kg_extract,
@@ -2883,6 +2932,8 @@ ORACLES = {
     "kg_pagerank": ORACLE_KG_PAGERANK,
     "kg_pagerank_conserve": ORACLE_KG_PAGERANK_CONSERVE,
     "streaming_join": ORACLE_STREAMING_JOIN,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "events_retention": ORACLE_EVENTS_RETENTION,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),
