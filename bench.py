@@ -222,7 +222,7 @@ def main() -> None:
     # because 35 queries of heap/codegen pressure preceded the probe. The
     # probe's internal warm pass still amortizes Python-worker spin-up; we
     # emit BOTH the cold first run and the steady best-of-rest.
-    throughput = _throughput_stage(spark, sf, cpus, n_runs=5)
+    throughput = _throughput_stage(spark, sf, cpus, n_runs=5, adaptive=True)
 
     # second headline: a sugar-dense Turtle/TriG-only corpus. The mixed
     # corpus is NT-dominated (fast line kernels); this row stresses the
@@ -276,7 +276,8 @@ def main() -> None:
 
 
 def _throughput_stage(spark, sf: str, cpus: int, n_convs: int | None = None,
-                      n_runs: int = 4, formats: tuple[str, ...] | None = None) -> dict:
+                      n_runs: int = 4, formats: tuple[str, ...] | None = None,
+                      adaptive: bool = False) -> dict:
     import shutil
     import tempfile
 
@@ -323,14 +324,15 @@ def _throughput_stage(spark, sf: str, cpus: int, n_convs: int | None = None,
         n_turns = transcripts.count()  # warm the page cache; count separately
 
         # steady state: warm pass (JIT, heap growth, python-worker spin-up),
-        # then adaptive minima — keep going while the floor still improves
-        # (this box's ±50% noise means a fixed small run count can sample
-        # only the slow side of the distribution), stop after two
-        # non-improving runs, hard cap at n_runs + 4
+        # then minima. ``adaptive`` (the headline probe) keeps going while
+        # the floor still improves — this box's ±50% noise means a fixed
+        # small run count can sample only the slow side of the distribution
+        # — stopping after two non-improving runs, hard cap n_runs + 4;
+        # fixed-count mode keeps the scaling pairs' wall time bounded.
         runs = []
         n_triples = 0
         best, since_best = float("inf"), 0
-        for k in range(n_runs + 4):
+        for k in range(n_runs + 4 if adaptive else n_runs):
             t0 = time.perf_counter()
             docs = assemble_documents_salted(transcripts)
             docs = docs.join(F.broadcast(meta_df), "conv_id", "left")
