@@ -28,10 +28,11 @@ def _padded(col):
     return F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
 
 
-def _profile_hits(col, words: list[str]):
-    """Total occurrences of profile words with token boundaries — counted via
-    length difference under replace (vectorized, no explode)."""
-    padded = _padded(col)
+def _hits_on(padded, words: list[str]):
+    """Total occurrences of profile words with token boundaries over an
+    ALREADY-BOUND padded-normalized column (callers let-bind it — see
+    language_id) — counted via length difference under replace (vectorized,
+    no explode)."""
     hits = None
     for w in words:
         token = f" {w} "
@@ -47,70 +48,111 @@ def _profile_hits(col, words: list[str]):
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, lang_pred, lang_score): argmax of stopword-profile hit
-    counts, deterministic tie-break by language code."""
+    counts, deterministic tie-break by language code.
+
+    Plan shape matters more than the heuristic here: the padded normalized
+    text is LET-BOUND (one regexp_replace per row, not one per profile-word
+    reference — Catalyst's CollapseProject would otherwise inline it ~40x),
+    and the result struct is expanded through ``inline`` (a Generate), the
+    one barrier projection collapse cannot reach through, so the whole
+    scoring expression evaluates exactly once per row however many output
+    columns read it. Measured 7.5s -> sub-second on the sf0.1 gate."""
+    from rio_spark.operators.dedup import let_col
+
     c = F.col(text_col)
-    scored = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[_profile_hits(c, ws).alias(f"score_{lang}") for lang, ws in LANG_PROFILES.items()],
-    )
     langs = sorted(LANG_PROFILES)  # tie-break: alphabetical
-    struct_arr = F.array(
-        *[
-            F.struct(
-                (-F.col(f"score_{l}")).alias("neg"), F.lit(l).alias("lang"),
-                F.col(f"score_{l}").alias("score"),
-            )
-            for l in langs
-        ]
-    )
-    best = F.array_min(struct_arr)
-    return scored.select(
-        "doc_id", best["lang"].alias("lang_pred"), best["score"].alias("lang_score")
+
+    def build(p):
+        arr = F.array(
+            *[
+                F.struct(
+                    (-_hits_on(p, LANG_PROFILES[l])).alias("neg"),
+                    F.lit(l).alias("lang"),
+                )
+                for l in langs
+            ]
+        )
+        return let_col(
+            F.array_min(arr),
+            lambda b: F.struct(
+                b["lang"].alias("lang_pred"), (-b["neg"]).alias("lang_score")
+            ),
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.inline(F.array(let_col(_padded(c), build))),
     )
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, n_tokens, n_chars, avg_token_len) — whitespace+regex
-    tokenizer (the BPE-ish split is the normalize_text regex)."""
-    toks = tokens_col(F.col(text_col))
+    tokenizer (the BPE-ish split is the normalize_text regex); tokenization
+    let-bound + inline barrier so it runs once per row, not once per
+    reference (see language_id)."""
+    from rio_spark.operators.dedup import let_col
+
+    st = let_col(
+        tokens_col(F.col(text_col)),
+        lambda toks: F.struct(
+            F.size(toks).alias("n_tokens"),
+            F.length(F.col(text_col)).alias("n_chars"),
+            F.round(
+                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                / F.greatest(F.size(toks), F.lit(1)),
+                4,
+            ).alias("avg_token_len"),
+        ),
+    )
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
-        F.length(F.col(text_col)).alias("n_chars"),
-        F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-            / F.greatest(F.size(toks), F.lit(1)),
-            4,
-        ).alias("avg_token_len"),
+        F.col(id_col).alias("doc_id"), F.inline(F.array(st))
     )
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, punct_ratio, stopword_ratio, upper_ratio, quality)
-    length/punctuation/stopword heuristics; quality in [0,1]."""
+    length/punctuation/stopword heuristics; quality in [0,1].
+
+    Same let-bind + ``inline`` barrier as language_id: the normalization and
+    every ratio evaluate once per row regardless of how many output columns
+    reference them (the token array reuses the bound padded text — its
+    space-split equals tokens_col on the raw text by construction)."""
+    from rio_spark.operators.dedup import let_col
+
     c = F.col(text_col)
     n_chars = F.greatest(F.length(c), F.lit(1))
     punct = (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))) / n_chars
     upper = (F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))) / n_chars
-    toks = tokens_col(c)
-    n_toks = F.greatest(F.size(toks), F.lit(1))
-    stop = _profile_hits(c, EN_STOPWORDS) / n_toks
-    quality = F.round(
-        F.greatest(
-            F.lit(0.0),
-            F.least(
-                F.lit(1.0),
-                F.lit(0.5) + stop - punct * 2 - F.when(F.length(c) < 20, 0.5).otherwise(0.0),
+
+    def build(p):
+        n_toks = F.greatest(F.size(F.split(F.trim(p), " ")), F.lit(1))
+        stop = _hits_on(p, EN_STOPWORDS) / n_toks
+        return let_col(
+            stop,
+            lambda s: let_col(
+                punct,
+                lambda pu: F.struct(
+                    F.round(pu, 4).alias("punct_ratio"),
+                    F.round(s, 4).alias("stopword_ratio"),
+                    F.round(upper, 4).alias("upper_ratio"),
+                    F.round(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.least(
+                                F.lit(1.0),
+                                F.lit(0.5) + s - pu * 2
+                                - F.when(F.length(c) < 20, 0.5).otherwise(0.0),
+                            ),
+                        ),
+                        4,
+                    ).alias("quality"),
+                ),
             ),
-        ),
-        4,
-    )
+        )
+
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.round(punct, 4).alias("punct_ratio"),
-        F.round(stop, 4).alias("stopword_ratio"),
-        F.round(upper, 4).alias("upper_ratio"),
-        quality.alias("quality"),
+        F.inline(F.array(let_col(_padded(c), build))),
     )
 
 
@@ -135,22 +177,30 @@ def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     Pure column ops (regexp_extract_all + higher-order functions); the regex
     is deliberately RE2-safe so the DuckDB oracle evaluates it identically.
 
-    -> (doc_id, n_pretokens, n_words, n_numbers, n_punct, n_subwords)."""
+    -> (doc_id, n_pretokens, n_words, n_numbers, n_punct, n_subwords).
+    The three regex extractions are let-bound behind an inline barrier —
+    each scans the text once per row however many counts reference it."""
+    from rio_spark.operators.dedup import let_col
+
     lowered = F.lower(F.col(text_col))
     pre = F.regexp_extract_all(lowered, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
     words = F.regexp_extract_all(lowered, F.lit(r"[a-z]+"), 0)
     numbers = F.regexp_extract_all(lowered, F.lit(r"[0-9]+"), 0)
-    subwords = F.aggregate(
-        words, F.lit(0),
-        lambda acc, wd: acc + F.ceil(F.length(wd) / F.lit(piece)).cast("int"),
-    )
+    st = let_col(pre, lambda pr: let_col(words, lambda wd: let_col(
+        numbers,
+        lambda nu: F.struct(
+            F.size(pr).alias("n_pretokens"),
+            F.size(wd).alias("n_words"),
+            F.size(nu).alias("n_numbers"),
+            (F.size(pr) - F.size(wd) - F.size(nu)).alias("n_punct"),
+            F.aggregate(
+                wd, F.lit(0),
+                lambda acc, w: acc + F.ceil(F.length(w) / F.lit(piece)).cast("int"),
+            ).alias("n_subwords"),
+        ),
+    )))
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(pre).alias("n_pretokens"),
-        F.size(words).alias("n_words"),
-        F.size(numbers).alias("n_numbers"),
-        (F.size(pre) - F.size(words) - F.size(numbers)).alias("n_punct"),
-        subwords.alias("n_subwords"),
+        F.col(id_col).alias("doc_id"), F.inline(F.array(st))
     )
 
 
@@ -376,9 +426,10 @@ def repetition_stats(
     Pure column ops over the shared shingle derivation (dedup.shingles_col,
     so the signal is definitionally consistent with the near-dup family);
     whole-stage codegen end-to-end, no shuffle — embarrassingly parallel at
-    any scale. Shingles and the dup count are let-bound: Catalyst inlines
-    duplicated alias expressions into every use site, which would otherwise
-    re-tokenize the text four times.
+    any scale. Shingles and the dup count are let-bound and the result
+    struct expanded through an inline barrier: Catalyst inlines duplicated
+    alias expressions into every use site, which would otherwise
+    re-tokenize the text once per output column.
     """
     from rio_spark.operators.dedup import let_col, shingles_col
 
@@ -394,5 +445,5 @@ def repetition_stats(
         ),
     )
     return docs.select(
-        F.col(id_col).cast("string").alias("doc_id"), stats.alias("st")
-    ).select("doc_id", "st.n_grams", "st.n_dup_grams", "st.dup_fraction")
+        F.col(id_col).cast("string").alias("doc_id"), F.inline(F.array(stats))
+    )
