@@ -222,14 +222,30 @@ def pii_mask(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     counts feed a redaction-rate metric per corpus shard). Pure column ops —
     regexp_replace / regexp_count chain, whole-stage codegen, no shuffle.
 
-    -> (doc_id, masked, n_email, n_ssn, n_phone, n_ipv4)."""
-    masked = F.col(text_col)
-    counts = []
-    for name, pat, token in PII_PATTERNS:
-        counts.append(F.regexp_count(masked, F.lit(pat)).alias(f"n_{name}"))
-        masked = F.regexp_replace(masked, pat, token)
+    -> (doc_id, masked, n_email, n_ssn, n_phone, n_ipv4).
+
+    Each masking stage is let-bound (count + replace computed once on the
+    bound intermediate, nested so stage i+1 reads stage i's output variable)
+    and the final struct leaves through an inline barrier — one regex count
+    and one replace per pattern per row, where the naive chained-column form
+    re-ran the whole growing replace chain under every count column."""
+    from rio_spark.operators.dedup import let_col
+
+    def build(i, m, counts):
+        if i == len(PII_PATTERNS):
+            return F.struct(m.alias("masked"), *counts)
+        name, pat, token = PII_PATTERNS[i]
+        return let_col(
+            F.struct(
+                F.regexp_count(m, F.lit(pat)).alias("c"),
+                F.regexp_replace(m, pat, token).alias("m"),
+            ),
+            lambda st: build(i + 1, st["m"], [*counts, st["c"].alias(f"n_{name}")]),
+        )
+
     return docs.select(
-        F.col(id_col).alias("doc_id"), masked.alias("masked"), *counts
+        F.col(id_col).alias("doc_id"),
+        F.inline(F.array(build(0, F.col(text_col), []))),
     )
 
 

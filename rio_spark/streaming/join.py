@@ -35,6 +35,14 @@ def interval_join_streams(
     Both sides MUST carry distinct column names apart from ``key`` (rename
     before calling); both get the same ``watermark`` so Spark can compute
     the state eviction bound from the time-range condition.
+
+    Skew hazard, by construction: output is |L_w x R_w| per key per
+    interval window, so a hot key (a bot clicking AND purchasing thousands
+    of times an hour) emits quadratically. When one match per right row is
+    the real semantics (attribution), prefer the as-of join
+    (operators/asof.py) on the batch path — output bounded at |R| — or
+    pre-aggregate/cap the hot side before this join; the same bounded-cap
+    pattern as dedup.minhash_lsh_pairs(bucket_cap=) applies.
     """
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
