@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "events_retention",
     "text_repetition",
     "kg_triangles",
+    "kg_kcore",
     "kg_bgp_star",
     "kg_pagerank",
     "corpus_clean_e2e",

@@ -1541,6 +1541,54 @@ FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 )
 
 
+def q_kg_kcore(spark, sf_dir) -> DataFrame:
+    """3-round 2-core peeling of the sampled part co-occurrence graph
+    (operators/graph.py k_core): nodes with degree < 2 removed each round,
+    cascading — the densest-region filter run before expensive analytics.
+    Returns the surviving edge set."""
+    from rio_spark.operators.graph import k_core
+
+    return k_core(_part_cooccurrence(spark, sf_dir, node_mod=7), k=2, rounds=3)
+
+
+# three peeling rounds unrolled: degree over the symmetrized edges, keep
+# nodes with deg >= 2, keep edges with both endpoints kept
+ORACLE_KG_KCORE = (
+    "WITH e0 AS ("
+    + _ORACLE_COOC.format(extra="WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0")
+    + """),
+d1 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY node
+),
+k1 AS (SELECT node FROM d1 WHERE deg >= 2),
+e1 AS (
+  SELECT e0.a, e0.b FROM e0
+  JOIN k1 ka ON ka.node = e0.a JOIN k1 kb ON kb.node = e0.b
+),
+d2 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1
+  ) GROUP BY node
+),
+k2 AS (SELECT node FROM d2 WHERE deg >= 2),
+e2 AS (
+  SELECT e1.a, e1.b FROM e1
+  JOIN k2 ka ON ka.node = e1.a JOIN k2 kb ON kb.node = e1.b
+),
+d3 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
+  ) GROUP BY node
+),
+k3 AS (SELECT node FROM d3 WHERE deg >= 2)
+SELECT e2.a, e2.b FROM e2
+JOIN k3 ka ON ka.node = e2.a JOIN k3 kb ON kb.node = e2.b
+"""
+)
+
+
 def q_kg_degree_stats(spark, sf_dir) -> DataFrame:
     """Degree histogram of the (full) part co-occurrence graph."""
     from rio_spark.operators.graph import degree_histogram
@@ -2799,6 +2847,7 @@ QUERIES = {
     "kg_pagerank_conserve": q_kg_pagerank_conserve,
     "text_repetition": q_text_repetition,
     "events_retention": q_events_retention,
+    "kg_kcore": q_kg_kcore,
     # -- r02-vintage rotation block ----------------------------------------
     "kg_format_ntriples": q_kg_format_ntriples,
     "kg_format_nquads": q_kg_format_nquads,
@@ -2846,10 +2895,10 @@ QUERIES = {
     "dedup_near_groups": q_dedup_near_groups,
     "text_pack_batches": q_text_pack_batches,
     "events_asof": q_events_asof,
-    "streaming_dedup": q_streaming_dedup,
     # -- TAIL [50:]: driver-green in round 3 (CORRECTNESS_r03), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be the
     # latest recorded round) ----------------------------------------------
+    "streaming_dedup": q_streaming_dedup,
     "streaming_enrich": q_streaming_enrich,
     "multimodal_features": q_multimodal_features,
     "streaming_tumbling": q_streaming_tumbling,
@@ -2934,6 +2983,7 @@ ORACLES = {
     "streaming_join": ORACLE_STREAMING_JOIN,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "events_retention": ORACLE_EVENTS_RETENTION,
+    "kg_kcore": ORACLE_KG_KCORE,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),
