@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "text_pack_batches",
     "events_quantiles",
     "events_retention",
+    "events_trailing",
     "text_repetition",
     "kg_triangles",
     "kg_kcore",

@@ -132,3 +132,32 @@ def cohort_retention(
         .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def trailing_user_stats(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+    value_col: str = "value", frame: int = 3,
+) -> DataFrame:
+    """Per-user daily totals with a trailing-window baseline — the anomaly
+    /ramp-detection shape (is today's volume out of line with the user's
+    recent days?).
+
+    -> (user_id, day, total, trailing_avg): day totals (one hash aggregate)
+    then avg over the previous ``frame`` days' rows via a bounded ROWS frame
+    window partitioned by user — parallelizes across users, state bounded by
+    the frame, first rows get NULL (empty frame) in both engines. Days are
+    integer epoch-days (engine-exact); the frame sums in row order, so even
+    float accumulation is deterministic across engines."""
+    day = F.floor(ntz_epoch(F.col(ts_col)) / F.lit(86400)).cast("long")
+    daily = (
+        events.select(F.col(user_col).alias("user_id"), day.alias("day"),
+                      F.col(value_col).alias("v"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("v").alias("total"))
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(-frame, -1)
+    return daily.select(
+        "user_id", "day",
+        F.round("total", 4).alias("total"),
+        F.round(F.avg("total").over(w), 4).alias("trailing_avg"),
+    )

@@ -2248,6 +2248,30 @@ GROUP BY 1, 2
 """
 
 
+def q_events_trailing(spark, sf_dir) -> DataFrame:
+    """Per-user daily totals vs a 3-day trailing baseline (operators/
+    sessions.py trailing_user_stats) — the anomaly/ramp shape, exercising
+    bounded ROWS-frame windows (deterministic in-order frame summation)."""
+    from rio_spark.operators.sessions import trailing_user_stats
+
+    return trailing_user_stats(_read(spark, sf_dir, "events"))
+
+
+ORACLE_EVENTS_TRAILING = """
+WITH daily AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         sum(value) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, round(total, 4) AS total,
+       round(avg(total) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+       ), 4) AS trailing_avg
+FROM daily
+"""
+
+
 def q_kg_pipeline_e2e(spark, sf_dir) -> DataFrame:
     """The per-group body of run_pipeline as ONE chained oracle-checked plan:
     turn stream -> salted assembly -> NT kernel extraction -> owl:sameAs
@@ -2848,6 +2872,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "events_retention": q_events_retention,
     "kg_kcore": q_kg_kcore,
+    "events_trailing": q_events_trailing,
     # -- r02-vintage rotation block ----------------------------------------
     "kg_format_ntriples": q_kg_format_ntriples,
     "kg_format_nquads": q_kg_format_nquads,
@@ -2894,10 +2919,10 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_near_groups": q_dedup_near_groups,
     "text_pack_batches": q_text_pack_batches,
-    "events_asof": q_events_asof,
     # -- TAIL [50:]: driver-green in round 3 (CORRECTNESS_r03), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be the
     # latest recorded round) ----------------------------------------------
+    "events_asof": q_events_asof,
     "streaming_dedup": q_streaming_dedup,
     "streaming_enrich": q_streaming_enrich,
     "multimodal_features": q_multimodal_features,
@@ -2984,6 +3009,7 @@ ORACLES = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "events_retention": ORACLE_EVENTS_RETENTION,
     "kg_kcore": ORACLE_KG_KCORE,
+    "events_trailing": ORACLE_EVENTS_TRAILING,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),

@@ -110,12 +110,12 @@ def _sweep(kernel_name: str, n_mutations: int, seed: int) -> int:
 
 @pytest.mark.parametrize("kernel", sorted(KERNELS))
 def test_fuzz_mutated_corpus_never_raises(kernel):
-    """>=1500 seeded mutations per kernel (7 kernels -> >=10.5k docs total):
+    """>=3000 seeded mutations per kernel (7 kernels -> >=21k docs total):
     error rows always, exceptions never; and the sweep must actually EXERCISE
     the error path (mutations that all parse clean would be a broken fuzzer,
     not a robust kernel)."""
-    n_error_docs = _sweep(kernel, n_mutations=1500, seed=0xC0FFEE)
-    assert n_error_docs > 50
+    n_error_docs = _sweep(kernel, n_mutations=3000, seed=0xC0FFEE)
+    assert n_error_docs > 100
 
 
 def test_pinned_regressions():

@@ -62,3 +62,55 @@ def test_seeded_conserve_matches_unseeded_shape(spark, chain_edges):
     }
     assert got["a"] < got["b"] and got["a"] < got["c"]
     assert got["a"] > 0.15 + 0.01  # teleport base plus redistributed mass
+
+
+def test_k_core_peels_chain_keeps_triangle(spark):
+    """A path a-b-c dies under 2-core peeling (endpoints cascade inward); a
+    triangle survives (every node keeps degree 2)."""
+    from rio_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame([("a", "b"), ("b", "c")], "a string, b string")
+    assert k_core(chain, k=2, rounds=2).count() == 0
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "a string, b string"
+    )
+    got = sorted(map(tuple, k_core(tri, k=2, rounds=3).collect()))
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_k_core_cascades(spark):
+    """Peeling cascades: a pendant chain hanging off a triangle is stripped
+    one link per round, the triangle core survives."""
+    from rio_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "a string, b string",
+    )
+    after1 = sorted(map(tuple, k_core(edges, k=2, rounds=1).collect()))
+    assert ("d", "e") not in after1 and ("c", "d") in after1  # e peeled first
+    after2 = sorted(map(tuple, k_core(edges, k=2, rounds=2).collect()))
+    assert after2 == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_cohort_retention_hand_case(spark):
+    """Two users: u1 active weeks 0 and 1, u2 only week 1 -> u1's cohort has
+    one user at offsets 0 and 1; u2's cohort (week 1) one user at offset 0."""
+    from datetime import datetime
+
+    from rio_spark.operators.sessions import cohort_retention
+
+    w0 = datetime(2024, 1, 4)  # both fall in distinct epoch-weeks
+    w1 = datetime(2024, 1, 11)
+    ev = spark.createDataFrame(
+        [(1, w0), (1, w0), (1, w1), (2, w1)], "user_id long, ts timestamp"
+    )
+    got = {
+        (r["cohort_week"] , r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    weeks = sorted({w for w, _ in got})
+    base = weeks[0]
+    norm = {(w - base, o): n for (w, o), n in got.items()}
+    assert norm == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
