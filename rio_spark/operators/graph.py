@@ -345,3 +345,36 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
     return e
+
+
+def common_neighbors(
+    edges: DataFrame, min_common: int = 2, k: int = 100
+) -> DataFrame:
+    """Link prediction / alias-candidate generation over node-ordered
+    undirected edges ``(a, b)``: non-adjacent node pairs ranked by shared
+    neighbor count — the basic structural-similarity signal a KG linker
+    uses to propose merge candidates beyond surface-form matches.
+
+    Wedge formulation (same hub-safe shape as triangle_count): E(x,y) |><|
+    E(y,z) with ``x < z`` yields each candidate pair once per shared
+    neighbor; one count aggregate, an anti-join drops already-connected
+    pairs, deterministic top-k (count desc, then pair). No neighborhood
+    arrays; the quadratic hub fan-out is bounded upstream by the edge
+    sampler (cooccurrence_edges node_mod), exactly like triangles."""
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    e1 = sym.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    e2 = sym.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .filter(F.col("x") < F.col("z"))
+        .groupBy("x", "z")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .join(edges.select(F.col("a").alias("x"), F.col("b").alias("z")),
+              ["x", "z"], "left_anti")
+        .orderBy(F.col("n_common").desc(), "x", "z")
+        .limit(k)
+    )

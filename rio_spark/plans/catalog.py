@@ -1589,6 +1589,60 @@ JOIN k3 ka ON ka.node = e2.a JOIN k3 kb ON kb.node = e2.b
 )
 
 
+def q_kg_common_neighbors(spark, sf_dir) -> DataFrame:
+    """Link prediction over the sampled part co-occurrence graph
+    (operators/graph.py common_neighbors): top non-adjacent pairs by shared
+    neighbor count — the alias-candidate signal a KG linker feeds on."""
+    from rio_spark.operators.graph import common_neighbors
+
+    return common_neighbors(
+        _part_cooccurrence(spark, sf_dir, node_mod=7), min_common=2, k=100
+    )
+
+
+ORACLE_KG_COMMON_NEIGHBORS = (
+    "WITH e AS ("
+    + _ORACLE_COOC.format(extra="WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0")
+    + """),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+cand AS (
+  SELECT e1.v AS x, e2.v AS z, count(*) AS n_common
+  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT x, z, n_common FROM cand
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.x AND e.b = cand.z)
+ORDER BY n_common DESC, x, z LIMIT 100
+"""
+)
+
+
+def q_kg_error_stats(spark, sf_dir) -> DataFrame:
+    """Corpus error dashboard: positioned error rows aggregated by kind and
+    line — the per-shard data-quality report a 100 TB ingest publishes
+    alongside its lineage (errors are rows, so this is one hash aggregate
+    over the extraction's error branch)."""
+    docs = assemble_documents_salted(_nt_transcripts(spark, sf_dir, with_error=True))
+    ext = extract_triples(docs, fmt="nt")
+    return (
+        errors_of(ext)
+        .groupBy("error_kind", "error_line")
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# every doc_id % 7 == 3 carries one unterminated-IRI corruption on its lang
+# line, which assembles to line 2 of the document (see _nt_lines)
+ORACLE_KG_ERROR_STATS = """
+SELECT 'InvalidIriCodePoint' AS error_kind, CAST(2 AS INT) AS error_line,
+       count(*) AS n_errors, count(DISTINCT doc_id) AS n_docs
+FROM documents WHERE doc_id % 7 = 3
+"""
+
+
 def q_kg_degree_stats(spark, sf_dir) -> DataFrame:
     """Degree histogram of the (full) part co-occurrence graph."""
     from rio_spark.operators.graph import degree_histogram
@@ -2873,6 +2927,8 @@ QUERIES = {
     "events_retention": q_events_retention,
     "kg_kcore": q_kg_kcore,
     "events_trailing": q_events_trailing,
+    "kg_common_neighbors": q_kg_common_neighbors,
+    "kg_error_stats": q_kg_error_stats,
     # -- r02-vintage rotation block ----------------------------------------
     "kg_format_ntriples": q_kg_format_ntriples,
     "kg_format_nquads": q_kg_format_nquads,
@@ -2917,11 +2973,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_minhash": q_dedup_minhash,
-    "dedup_near_groups": q_dedup_near_groups,
-    "text_pack_batches": q_text_pack_batches,
     # -- TAIL [50:]: driver-green in round 3 (CORRECTNESS_r03), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be the
     # latest recorded round) ----------------------------------------------
+    "dedup_near_groups": q_dedup_near_groups,
+    "text_pack_batches": q_text_pack_batches,
     "events_asof": q_events_asof,
     "streaming_dedup": q_streaming_dedup,
     "streaming_enrich": q_streaming_enrich,
@@ -3010,6 +3066,8 @@ ORACLES = {
     "events_retention": ORACLE_EVENTS_RETENTION,
     "kg_kcore": ORACLE_KG_KCORE,
     "events_trailing": ORACLE_EVENTS_TRAILING,
+    "kg_common_neighbors": ORACLE_KG_COMMON_NEIGHBORS,
+    "kg_error_stats": ORACLE_KG_ERROR_STATS,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),
