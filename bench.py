@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "kg_triangles",
     "kg_kcore",
+    "kg_cc_incremental",
     "kg_bgp_star",
     "kg_pagerank",
     "corpus_clean_e2e",

@@ -165,3 +165,50 @@ def canonicalize(triples: DataFrame) -> DataFrame:
     """Full pass: derive alias components from owl:sameAs edges and rewrite
     every triple onto canonical ids."""
     return rewrite_triples(triples, canonical_mapping(triples))
+
+
+def cc_incremental(
+    labels: DataFrame, new_edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of NEW
+    edges into an existing min-label CC labeling without re-walking the old
+    graph — the difference between a nightly full recompute and a streaming
+    upsert at 10^12 edges.
+
+    ``labels`` is (node, component) where component = the component's
+    minimum node id (exactly what :func:`connected_components` emits).
+    Each new edge endpoint is mapped to its old component label where known
+    (two broadcast-or-shuffle joins), CC runs on that CONTRACTED graph —
+    whose size is |new edges| + |touched components|, independent of the
+    old graph — and old members then inherit their label's new component
+    through one join.
+
+    Correctness: a from-scratch CC over (old ∪ new) would label each merged
+    component with the min over all its member nodes; every old label is
+    already <= all of its members, so the min over the contracted vertex
+    set (old labels + genuinely new nodes) EQUALS the min over the full
+    vertex set. The incremental result is therefore bit-identical to the
+    full recompute, which is what the oracle checks.
+    """
+    lab = labels.select("node", "component")
+    s = lab.select(F.col("node").alias(src), F.col("component").alias("__sc"))
+    d = lab.select(F.col("node").alias(dst), F.col("component").alias("__dc"))
+    contracted = (
+        new_edges.select(src, dst)
+        .join(s, src, "left")
+        .join(d, dst, "left")
+        .select(
+            F.coalesce("__sc", F.col(src)).alias("src"),
+            F.coalesce("__dc", F.col(dst)).alias("dst"),
+        )
+    )
+    comp2 = connected_components(contracted)
+    relabel = comp2.select(
+        F.col("node").alias("component"), F.col("component").alias("__new")
+    )
+    updated = lab.join(relabel, "component", "left").select(
+        "node", F.coalesce("__new", F.col("component")).alias("component")
+    )
+    # vertices first seen in this batch (neither old members nor old labels)
+    new_nodes = comp2.join(lab.select("node"), "node", "left_anti")
+    return updated.unionByName(new_nodes.select("node", "component"))

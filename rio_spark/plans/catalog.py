@@ -1196,6 +1196,46 @@ def q_kg_format_rdfxml(spark, sf_dir) -> DataFrame:
 ORACLE_KG_FORMAT_RDFXML = ORACLE_KG_FORMAT_TURTLE
 
 
+def q_kg_cc_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental CC maintenance (operators/canonicalize.py
+    cc_incremental): a full min-label CC run over the entity->leader star
+    edges establishes the old labeling, then a batch of bridge edges (each
+    doc = 7 mod 10 links to a member of the PREVIOUS alias group) merges
+    adjacent groups through the contracted graph only — cost scales with
+    the batch, not the old graph. The oracle is the from-scratch recompute
+    in closed form (the contracted-min theorem in the docstring makes them
+    bit-identical)."""
+    from rio_spark.operators.canonicalize import cc_incremental, connected_components
+
+    docs = _documents(spark, sf_dir)
+    ent, leader = _entity_and_leader()
+    stars = docs.select(ent.alias("src"), leader.alias("dst"))
+    labels = connected_components(stars)
+    prev_ent = F.concat(
+        F.lit(f"<{E_NS}"),
+        F.lpad((F.col("doc_id") - 5).cast("string"), 6, "0"),
+        F.lit(">"),
+    )
+    bridges = docs.filter(F.col("doc_id") % 10 == 7).select(
+        ent.alias("src"), prev_ent.alias("dst")
+    )
+    return cc_incremental(labels, bridges)
+
+
+# closed-form recompute: group g = doc_id - doc_id % 5; groups with
+# g % 10 == 5 contain a doc = 7 (mod 10) whose bridge merges them into the
+# preceding group, so their component leader steps back 5
+ORACLE_KG_CC_INCREMENTAL = f"""
+SELECT '<{E_NS}' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '>' AS node,
+       '<{E_NS}' || lpad(CAST(
+         CASE WHEN (doc_id - doc_id % 5) % 10 = 5
+              THEN doc_id - doc_id % 5 - 5
+              ELSE doc_id - doc_id % 5 END AS VARCHAR), 6, '0') || '>'
+         AS component
+FROM documents
+"""
+
+
 def q_kg_cc_skewed(spark, sf_dir) -> DataFrame:
     """CC skew stress: one hub with every distinct lineitem orderkey as a
     spoke. The star-step aggregations are groupBy-MIN (map-side combinable),
@@ -2929,6 +2969,7 @@ QUERIES = {
     "events_trailing": q_events_trailing,
     "kg_common_neighbors": q_kg_common_neighbors,
     "kg_error_stats": q_kg_error_stats,
+    "kg_cc_incremental": q_kg_cc_incremental,
     # -- r02-vintage rotation block ----------------------------------------
     "kg_format_ntriples": q_kg_format_ntriples,
     "kg_format_nquads": q_kg_format_nquads,
@@ -2972,10 +3013,10 @@ QUERIES = {
     "kg_bgp_star": q_kg_bgp_star,
     "dedup_exact": q_dedup_exact,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
-    "dedup_minhash": q_dedup_minhash,
     # -- TAIL [50:]: driver-green in round 3 (CORRECTNESS_r03), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be the
     # latest recorded round) ----------------------------------------------
+    "dedup_minhash": q_dedup_minhash,
     "dedup_near_groups": q_dedup_near_groups,
     "text_pack_batches": q_text_pack_batches,
     "events_asof": q_events_asof,
@@ -3068,6 +3109,7 @@ ORACLES = {
     "events_trailing": ORACLE_EVENTS_TRAILING,
     "kg_common_neighbors": ORACLE_KG_COMMON_NEIGHBORS,
     "kg_error_stats": ORACLE_KG_ERROR_STATS,
+    "kg_cc_incremental": ORACLE_KG_CC_INCREMENTAL,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_langid": _oracle_langid(),
     "text_quality": _oracle_quality(),
