@@ -72,13 +72,21 @@ def pagerank(
     everyone. Cost: the dangling flag is computed once (one join, folded
     into the cached node set); per iteration, one map-side-combinable
     scalar aggregate over the rank vector plus a 1-row broadcast join.
-    Determinism protocol: DM is rounded to 4 decimals before
-    redistribution — DM is a full-vector float sum whose accumulation
-    order differs between engines (and runs) by ~1e-8 absolute, so pinning
-    the ONE shared scalar to a coarse grid keeps every per-node rank an
-    exact function of exact inputs; the eps terms keep the final
-    per-node rounding tie-free exactly as in the simplified mode. DM is
-    O(N) in magnitude while ranks are O(1), so the 4-decimal pin costs
+    Determinism protocol: DM is pinned to a 1e-4 grid before
+    redistribution via ``floor(DM*10000 + 0.5)/10000`` — DM is a
+    full-vector float sum whose accumulation order differs between engines
+    (and runs) by ~1e-8 absolute, so pinning the ONE shared scalar to a
+    coarse grid keeps every per-node rank an exact function of exact
+    inputs; the eps terms keep the final per-node rounding tie-free
+    exactly as in the simplified mode. The floor form (not ``round``) is
+    deliberate (r4 ADVICE): Spark rounds the double's shortest-decimal
+    repr while DuckDB rounds the true binary value, so their round()
+    implementations themselves can disagree near a boundary; floor of an
+    identical IEEE multiply-add is the same bit-level function on both
+    engines, leaving only the ~1e-8 accumulation noise itself as a
+    residual flake risk (DM would have to land within that noise of an
+    exact integer of DM*1e4+0.5 — accepted and documented here). DM is
+    O(N) in magnitude while ranks are O(1), so the 1e-4 pin costs
     ~1e-10 relative accuracy — far below the final ``round_to`` grid.
     """
     # the edge set feeds every iteration's contribution join plus the
@@ -136,10 +144,17 @@ def pagerank(
             joined = nodes.join(contrib, "node", "left")
             if conserve_mass:
                 # one scalar aggregate (map-side combinable) + 1-row
-                # broadcast join; DM pinned to 4 decimals — see docstring
+                # broadcast join; DM pinned to the 1e-4 grid via floor
+                # arithmetic identical on both engines — see docstring
                 dm = (
                     ranks.filter("dang")
-                    .agg(F.coalesce(F.round(F.sum("rank"), 4), F.lit(0.0)).alias("__dm"))
+                    .agg(
+                        F.coalesce(
+                            F.floor(F.sum("rank") * F.lit(10000.0) + F.lit(0.5))
+                            / F.lit(10000.0),
+                            F.lit(0.0),
+                        ).alias("__dm")
+                    )
                     .withColumn("__k", F.lit(1))
                 )
                 joined = joined.withColumn("__k", F.lit(1)).join(F.broadcast(dm), "__k")

@@ -47,14 +47,27 @@ class GraphStore:
     # -- reads ---------------------------------------------------------------
 
     def graph(self, spark: SparkSession) -> DataFrame:
-        if not Path(self.graph_dir).exists():
+        """Pure read — never mutates the store (r4 ADVICE: a reader running
+        destructive recovery races a live compact() in another process and
+        deletes its in-progress staging dir).  Staging dirs a crashed
+        compact() left behind (``p_bucket=N.compacting`` / ``.old``) are
+        simply NOT listed: only dirs matching ``p_bucket=\\d+`` are read,
+        via explicit paths + basePath so partition discovery still yields
+        the p_bucket column.  Destructive recovery runs only on the
+        single-writer paths (merge()/compact() entry).  A reader racing a
+        live swap can transiently miss the one bucket mid-rename — the
+        documented parquet stand-in semantics for Iceberg's snapshot
+        isolation (schedule compaction in the maintenance window)."""
+        root = Path(self.graph_dir)
+        bucket_dirs = sorted(
+            str(d) for d in root.glob("p_bucket=*")
+            if _BUCKET_DIR_RE.match(d.name)
+        ) if root.exists() else []
+        if not bucket_dirs:
             return spark.createDataFrame(
                 [], "subject string, predicate string, object string, graph string, p_bucket int"
             )
-        # a crashed compact() may have left .compacting/.old staging dirs that
-        # would confuse partition discovery; roll them forward/back first
-        self._recover_interrupted_compactions(Path(self.graph_dir))
-        return spark.read.parquet(self.graph_dir)
+        return spark.read.option("basePath", self.graph_dir).parquet(*bucket_dirs)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         if not Path(self.lineage_dir).exists():
@@ -85,6 +98,11 @@ class GraphStore:
         The anti-join reads only the buckets the incoming batch touches
         (partition pruning on p_bucket), so merge cost scales with batch
         size, not table size."""
+        # single-writer path: heal any crashed compaction before reading, so
+        # a bucket left mid-swap (live dir renamed aside) is visible to the
+        # anti-join — graph() alone would silently skip it
+        if Path(self.graph_dir).exists():
+            self._recover_interrupted_compactions(Path(self.graph_dir))
         batch = self._bucketed(triples).dropDuplicates(
             ["subject", "predicate", "object", "graph"]
         )

@@ -1224,11 +1224,17 @@ def q_kg_cc_incremental(spark, sf_dir) -> DataFrame:
 
 # closed-form recompute: group g = doc_id - doc_id % 5; groups with
 # g % 10 == 5 contain a doc = 7 (mod 10) whose bridge merges them into the
-# preceding group, so their component leader steps back 5
+# preceding group, so their component leader steps back 5.  The CASE is
+# guarded on the bridge doc (g + 2) actually existing (r4 ADVICE): a corpus
+# whose max doc_id has residue 5 or 6 leaves a trailing half-group with no
+# residue-7 member, so no bridge edge is ever emitted for it and its leader
+# must NOT step back — without the guard the oracle silently assumed corpus
+# size is a multiple of 10
 ORACLE_KG_CC_INCREMENTAL = f"""
 SELECT '<{E_NS}' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '>' AS node,
        '<{E_NS}' || lpad(CAST(
          CASE WHEN (doc_id - doc_id % 5) % 10 = 5
+                   AND doc_id - doc_id % 5 + 2 <= (SELECT max(doc_id) FROM documents)
               THEN doc_id - doc_id % 5 - 5
               ELSE doc_id - doc_id % 5 END AS VARCHAR), 6, '0') || '>'
          AS component
@@ -1345,7 +1351,9 @@ def q_kg_pagerank_conserve(spark, sf_dir) -> DataFrame:
 
 
 # the conserve-mass iterations unrolled: dN = the dangling rank sum AFTER
-# round(·,4) — the determinism pin shared with the Spark side (a full-vector
+# the floor(·*1e4+0.5)/1e4 grid pin — identical IEEE arithmetic on both
+# engines (round() implementations differ near boundaries; floor of the
+# same multiply-add does not — r4 ADVICE), shared with the Spark side (a full-vector
 # float sum's accumulation order is engine-dependent at ~1e-8; pinning the
 # ONE shared scalar to a coarse grid removes the only cross-engine freedom,
 # while the md5-seeded eps keeps the final per-node rounding tie-free)
@@ -1365,7 +1373,7 @@ nodes2 AS (
   FROM nodes LEFT JOIN outdeg ON nodes.node = outdeg.src
 ),
 r0 AS (SELECT node, eps, dang, CAST(1.0 AS DOUBLE) + eps AS rank FROM nodes2),
-d1 AS (SELECT coalesce(round(sum(rank), 4), CAST(0 AS DOUBLE)) AS dm FROM r0 WHERE dang),
+d1 AS (SELECT coalesce(floor(sum(rank) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE), CAST(0 AS DOUBLE)) AS dm FROM r0 WHERE dang),
 c1 AS (
   SELECT e.dst AS node, sum(r0.rank / outdeg.deg) AS c
   FROM e JOIN r0 ON e.src = r0.node JOIN outdeg ON e.src = outdeg.src
@@ -1377,7 +1385,7 @@ r1 AS (
          + CAST(0.85 AS DOUBLE) * (coalesce(c1.c, 0) + d1.dm / nn.n) AS rank
   FROM nodes2 LEFT JOIN c1 USING (node), d1, nn
 ),
-d2 AS (SELECT coalesce(round(sum(rank), 4), CAST(0 AS DOUBLE)) AS dm FROM r1 WHERE dang),
+d2 AS (SELECT coalesce(floor(sum(rank) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE), CAST(0 AS DOUBLE)) AS dm FROM r1 WHERE dang),
 c2 AS (
   SELECT e.dst AS node, sum(r1.rank / outdeg.deg) AS c
   FROM e JOIN r1 ON e.src = r1.node JOIN outdeg ON e.src = outdeg.src
@@ -1389,7 +1397,7 @@ r2 AS (
          + CAST(0.85 AS DOUBLE) * (coalesce(c2.c, 0) + d2.dm / nn.n) AS rank
   FROM nodes2 LEFT JOIN c2 USING (node), d2, nn
 ),
-d3 AS (SELECT coalesce(round(sum(rank), 4), CAST(0 AS DOUBLE)) AS dm FROM r2 WHERE dang),
+d3 AS (SELECT coalesce(floor(sum(rank) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE), CAST(0 AS DOUBLE)) AS dm FROM r2 WHERE dang),
 c3 AS (
   SELECT e.dst AS node, sum(r2.rank / outdeg.deg) AS c
   FROM e JOIN r2 ON e.src = r2.node JOIN outdeg ON e.src = outdeg.src
@@ -2958,64 +2966,9 @@ FROM documents
 # query with a green driver row. All 60+ run in the local full-value parity
 # suite (tests/test_oracle_parity.py) every round regardless of position.
 QUERIES = {
-    # -- round-4 window [0:50): new this round first, then the 29 queries
-    # whose newest driver row was round-2 vintage (re-rotated per the r3
-    # verdict), then refreshed flagships whose code round 4 touched ------
-    "streaming_join": q_streaming_join,
-    "kg_pagerank_conserve": q_kg_pagerank_conserve,
-    "text_repetition": q_text_repetition,
-    "events_retention": q_events_retention,
-    "kg_kcore": q_kg_kcore,
-    "events_trailing": q_events_trailing,
-    "kg_common_neighbors": q_kg_common_neighbors,
-    "kg_error_stats": q_kg_error_stats,
-    "kg_cc_incremental": q_kg_cc_incremental,
-    # -- r02-vintage rotation block ----------------------------------------
-    "kg_format_ntriples": q_kg_format_ntriples,
-    "kg_format_nquads": q_kg_format_nquads,
-    "kg_format_turtle": q_kg_format_turtle,
-    "kg_format_trig": q_kg_format_trig,
-    "kg_format_rdfxml": q_kg_format_rdfxml,
-    "sim_topk": q_sim_topk,
-    "sim_pairs": q_sim_pairs,
-    "sim_pairs_lsh": q_sim_pairs_lsh,
-    "sim_ann_topk": q_sim_ann_topk,
-    "sim_lsh_buckets": q_sim_lsh_buckets,
-    "sim_ivf_cells": q_sim_ivf_cells,
-    "sim_ivf_refined": q_sim_ivf_refined,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_rollup": q_tpch_rollup,
-    "tpch_pivot": q_tpch_pivot,
-    "window_topk": q_window_topk,
-    "events_sessionize": q_events_sessionize,
-    "events_tumbling": q_events_tumbling,
-    "events_json_props": q_events_json_props,
-    "events_distinct_users": q_events_distinct_users,
-    "text_tokens": q_text_tokens,
-    "text_langid": q_text_langid,
-    "text_quality": q_text_quality,
-    "text_fingerprint": q_text_fingerprint,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    # -- refreshed r03-green flagships (fill to index 49) ------------------
-    "kg_pagerank": q_kg_pagerank,
-    "corpus_clean_e2e": q_corpus_clean_e2e,
-    "kg_pipeline_e2e": q_kg_pipeline_e2e,
-    "kg_extract_nt": q_kg_extract_nt,
-    "kg_extract_turtle": q_kg_extract_turtle,
-    "kg_error_recovery": q_kg_error_recovery,
-    "kg_assembly": q_kg_assembly,
-    "kg_connected_components": q_kg_connected_components,
-    "kg_entity_linking": q_kg_entity_linking,
-    "kg_bgp_star": q_kg_bgp_star,
-    "dedup_exact": q_dedup_exact,
-    "dedup_lsh_pairs": q_dedup_lsh_pairs,
-    # -- TAIL [50:]: driver-green in round 3 (CORRECTNESS_r03), freshness
-    # enforced by tests/test_oracle_parity.py (newest green row must be the
-    # latest recorded round) ----------------------------------------------
+    # -- round-5 window [0:50): the 38 queries whose newest driver row was
+    # round-3 vintage (rotated in per the r4 verdict), then the queries
+    # whose query OR oracle round 5 changed, then refreshed flagships ------
     "dedup_minhash": q_dedup_minhash,
     "dedup_near_groups": q_dedup_near_groups,
     "text_pack_batches": q_text_pack_batches,
@@ -3054,6 +3007,62 @@ QUERIES = {
     "kg_communities": q_kg_communities,
     "kg_reachability": q_kg_reachability,
     "events_funnel": q_events_funnel,
+    # -- query/oracle changed in round 5 (must re-verify) ------------------
+    "kg_cc_incremental": q_kg_cc_incremental,
+    "kg_pagerank_conserve": q_kg_pagerank_conserve,
+    "corpus_clean_e2e": q_corpus_clean_e2e,
+    # -- refreshed flagships (fill to index 49; kg_pagerank / kg_bgp_star
+    # are the r4 verdict's bench-weak pair — keep their driver rows fresh) -
+    "kg_pagerank": q_kg_pagerank,
+    "kg_bgp_star": q_kg_bgp_star,
+    "kg_pipeline_e2e": q_kg_pipeline_e2e,
+    "kg_extract_nt": q_kg_extract_nt,
+    "kg_extract_turtle": q_kg_extract_turtle,
+    "kg_error_recovery": q_kg_error_recovery,
+    "kg_entity_linking": q_kg_entity_linking,
+    "dedup_exact": q_dedup_exact,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    # -- TAIL [50:]: driver-green in round 4 (CORRECTNESS_r04), freshness
+    # enforced by tests/test_oracle_parity.py (newest green row must be
+    # within one round of the latest recorded round) -----------------------
+    "streaming_join": q_streaming_join,
+    "text_repetition": q_text_repetition,
+    "events_retention": q_events_retention,
+    "kg_kcore": q_kg_kcore,
+    "events_trailing": q_events_trailing,
+    "kg_common_neighbors": q_kg_common_neighbors,
+    "kg_error_stats": q_kg_error_stats,
+    "kg_format_ntriples": q_kg_format_ntriples,
+    "kg_format_nquads": q_kg_format_nquads,
+    "kg_format_turtle": q_kg_format_turtle,
+    "kg_format_trig": q_kg_format_trig,
+    "kg_format_rdfxml": q_kg_format_rdfxml,
+    "sim_topk": q_sim_topk,
+    "sim_pairs": q_sim_pairs,
+    "sim_pairs_lsh": q_sim_pairs_lsh,
+    "sim_ann_topk": q_sim_ann_topk,
+    "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_ivf_cells": q_sim_ivf_cells,
+    "sim_ivf_refined": q_sim_ivf_refined,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_rollup": q_tpch_rollup,
+    "tpch_pivot": q_tpch_pivot,
+    "window_topk": q_window_topk,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "events_json_props": q_events_json_props,
+    "events_distinct_users": q_events_distinct_users,
+    "text_tokens": q_text_tokens,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "kg_assembly": q_kg_assembly,
+    "kg_connected_components": q_kg_connected_components,
 }
 
 ORACLES = {

@@ -165,11 +165,12 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
 
 def test_compaction_crash_recovery(spark, tmp_path):
     """A compact() interrupted in ANY window must never lose a bucket's data:
-    the next store access (graph() or compact()) rolls the swap forward or
-    back. Simulates all three crash states by hand-arranging the staging dirs
-    a real crash would leave behind (ADVICE r3: the old unlink-then-rename
-    order could leave the live bucket empty, and `.compacting` dirs made
-    int('N.compacting') raise on the next run)."""
+    the next WRITE-path access (merge() or compact()) rolls the swap forward
+    or back, while graph() stays a pure read (r4 ADVICE: a reader running
+    destructive recovery would race a live compactor in another process and
+    rmtree its in-progress staging dir — reads must not mutate the store).
+    Simulates all three crash states by hand-arranging the staging dirs a
+    real crash would leave behind."""
     import shutil
     from pathlib import Path
 
@@ -189,28 +190,47 @@ def test_compaction_crash_recovery(spark, tmp_path):
                 "subject", "predicate", "object", "graph").collect())
         )
 
+    def heal():  # any single-writer entry heals; merge of an existing quad
+        dup = spark.createDataFrame(
+            [("<http://e/s0_0>", "<http://p/x>", '"0"', None)],
+            "subject string, predicate string, object string, graph string",
+        )
+        assert store.merge(spark, dup) == 0
+
     expected = rows()
     root = Path(store.graph_dir)
     live = root / "p_bucket=0"
 
     # state 1: crash BEFORE the swap — staging (possibly partial) beside live.
+    # graph() is pure: ignores the staging dir, does NOT delete it.
     staging = root / "p_bucket=0.compacting"
     shutil.copytree(live, staging)
     (staging / "junk.tmp").write_text("partial")
-    assert rows() == expected  # graph() recovered: originals authoritative
+    assert rows() == expected
+    assert staging.exists()  # read did not mutate
+    heal()  # writer entry drops the stale staging dir
     assert not staging.exists()
+    assert rows() == expected
 
     # state 2: crash BETWEEN the renames — live gone, complete staging + .old.
+    # A pure reader transiently misses the bucket (documented snapshot-stand-in
+    # semantics); the next writer promotes staging to live.
     old = root / "p_bucket=0.old"
     live.rename(old)
     shutil.copytree(old, staging)
-    assert rows() == expected  # staging promoted to live, .old dropped
+    assert rows() == []  # reader sees no committed bucket, and loses nothing
+    heal()
     assert live.exists() and not staging.exists() and not old.exists()
+    assert rows() == expected
 
     # state 3: crash AFTER the swap, before cleanup — live + leftover .old.
+    # Reader serves the live rewrite and leaves .old alone.
     shutil.copytree(live, old)
     assert rows() == expected
+    assert old.exists()
+    heal()
     assert not old.exists()
+    assert rows() == expected
 
     # and compact() itself runs clean over a recovered store, skipping any
     # non-integer dir names

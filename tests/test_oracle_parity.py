@@ -46,10 +46,14 @@ def test_driver_cap_window_covers_unchecked_queries():
     first 50; anything past index 49 must already be green in a recorded
     CORRECTNESS file.  Guards the dict ordering against casual additions.
 
-    Freshness (r3 ADVICE): a tail query's newest green row must come from
-    the LATEST recorded round — a stale green (two or more rounds old)
-    means the query sat past the cap through a round of code changes and
-    must be re-rotated into the window.  Self-maintaining: the rounds are
+    Freshness (r3 ADVICE, bound relaxed per r4 ADVICE): a tail query's
+    newest green row must be within ONE round of the latest recorded round.
+    Recording round N's results necessarily leaves the round-(N-1)-checked
+    tail one round old — that is the steady state of a working rotation,
+    not staleness — but a tail row TWO rounds old sat past the cap through
+    a full round of code changes and must be re-rotated into the window.
+    With this bound the suite is green at rest and the test still forces
+    each round to open with the rotation.  Self-maintaining: the rounds are
     read from the CORRECTNESS files themselves, no hand-kept ledger."""
     import json
     import pathlib
@@ -71,11 +75,12 @@ def test_driver_cap_window_covers_unchecked_queries():
         "— move them into the first 50 entries of QUERIES"
     )
     stale_tail = [
-        (n, newest_green[n]) for n in names[50:] if newest_green[n] < latest_round
+        (n, newest_green[n]) for n in names[50:] if newest_green[n] < latest_round - 1
     ]
     assert not stale_tail, (
-        f"tail queries whose newest green driver row predates round "
-        f"{latest_round}: {stale_tail} — rotate them into the first 50"
+        f"tail queries whose newest green driver row is two or more rounds "
+        f"older than round {latest_round}: {stale_tail} — rotate them into "
+        "the first 50"
     )
 
 
