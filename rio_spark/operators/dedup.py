@@ -277,3 +277,68 @@ def near_dup_groups(
     pairs = minhash_lsh_pairs(docs, id_col, text_col, k, bands, shingle, bucket_cap)
     cc = connected_components(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bench_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap of every corpus document
+    against a held-out benchmark/eval set — the contamination check a
+    training-data pipeline runs before any corpus ships to training.
+
+    -> (doc_id, bench_id, overlap) for pairs where ``overlap`` — the
+    fraction of the BENCHMARK item's distinct n-grams contained in the
+    document (containment toward the benchmark, the standard direction:
+    a 10 GB document trivially shares grams with everything, but a doc
+    holding most of a benchmark item's grams has memorized it) — is at
+    least ``threshold``.  Callers typically anti-join the corpus against
+    ``result.select("doc_id").distinct()`` as the contamination gate.
+
+    Plan shape (the 100 TB story): the benchmark side is SMALL by nature
+    (thousands of eval items vs billions of docs), so its exploded
+    inverted index (bench_id, gram) and its per-item gram counts are
+    broadcast — the corpus side is a single map-side scan + broadcast
+    hash join + one map-side-combinable aggregate on (doc_id, bench_id);
+    the corpus is never shuffled and no all-pairs space exists.
+    ``max_bench_df`` is the boilerplate guard, same role as
+    ``ngram_jaccard_pairs(max_df=)`` but computed on the small side: a
+    gram shared by more than ``max_bench_df`` benchmark ITEMS (a common
+    instruction preamble) is dropped from both the index and the
+    denominators, bounding the per-corpus-row join fan-out at
+    ``max_bench_df`` and keeping the overlap score discriminative."""
+    bench_ex = benchmarks.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(bench_text_col), n))).alias("g"),
+    )
+    if max_bench_df is not None:
+        keep = (
+            bench_ex.groupBy("g")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_bench_df)
+            .select("g")
+        )
+        bench_ex = bench_ex.join(keep, "g")
+    bench_sz = bench_ex.groupBy("bench_id").agg(F.count("*").alias("bench_sz"))
+    corpus_ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("g"),
+    )
+    inter = (
+        corpus_ex.join(F.broadcast(bench_ex), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(bench_sz), "bench_id")
+        .withColumn("overlap", F.col("inter") / F.col("bench_sz"))
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_id", "bench_id", F.round("overlap", 6).alias("overlap"))
+    )

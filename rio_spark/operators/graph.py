@@ -326,26 +326,34 @@ def k_hop_reachable(edges: DataFrame, sources: DataFrame, k: int = 2) -> DataFra
     return visited
 
 
-def k_core(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+def k_core(edges: DataFrame, k: int = 2, rounds: int | None = 3) -> DataFrame:
     """Iterative k-core peeling over node-ordered undirected edges ``(a, b)``
-    -> the surviving edge set after ``rounds`` peels (nodes with degree < k
-    removed each round, cascading).
+    -> the surviving edge set (nodes with degree < k removed each round,
+    cascading).  ``rounds=N`` runs a fixed peel budget; ``rounds=None``
+    peels to the true fixpoint — the full k-core decomposition.
 
     The standard densest-region filter before expensive graph analytics
     (triangles, communities): peeling strips the long low-degree fringe a
-    power-law graph is mostly made of. Fixed round count (like the CC /
-    PageRank loops) keeps it deterministic and oracle-checkable; each round
-    is one degree aggregation (map-side combinable) plus two semi-joins of
-    the edge set against surviving nodes — the same shuffle budget as a CC
-    round, hub-safe (no neighborhood arrays). The full decomposition is
-    rounds-until-fixpoint; at 10^12 edges peeling converges in a handful of
-    rounds for any real power-law graph, and the caller picks the budget.
+    power-law graph is mostly made of. Each round is one degree aggregation
+    (map-side combinable) plus two semi-joins of the edge set against
+    surviving nodes — the same shuffle budget as a CC round, hub-safe (no
+    neighborhood arrays).  The fixpoint mode reuses the CC loop's
+    convergence signature (canonicalize.py): each round's edge set is a
+    LAZY localCheckpoint whose materializing action IS the convergence
+    check — one driver job per round.  Peeling only ever REMOVES edges, so
+    the edge count alone is a sufficient signature (count unchanged ==
+    nothing removed == degrees unchanged == converged); at 10^12 edges a
+    power-law graph converges in a handful of rounds, while a worst-case
+    path graph takes O(diameter) rounds — the fixed-budget mode exists for
+    exactly that adversarial case.
     """
     from rio_spark.session import coalesced_shuffles
 
     e = edges.select("a", "b")
     with coalesced_shuffles(edges.sparkSession):
-        for _ in range(rounds):
+        done = 0
+        prev_n = None
+        while rounds is None or done < rounds:
             deg = (
                 e.select(F.col("a").alias("node"))
                 .unionByName(e.select(F.col("b").alias("node")))
@@ -357,8 +365,14 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
                 e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
                 .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
                 .select("a", "b")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=rounds is not None)
             )
+            done += 1
+            if rounds is None:
+                n = e.count()  # materializes the lazy checkpoint
+                if n == prev_n or n == 0:
+                    break
+                prev_n = n
     return e
 
 

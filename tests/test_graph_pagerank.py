@@ -114,3 +114,25 @@ def test_cohort_retention_hand_case(spark):
     base = weeks[0]
     norm = {(w - base, o): n for (w, o), n in got.items()}
     assert norm == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_k_core_fixpoint_converges_past_any_fixed_budget(spark):
+    """rounds=None peels a long pendant chain to the true 2-core: a
+    10-link tail off a triangle needs ~10 rounds (one link per round) —
+    well past the default rounds=3 budget — and the convergence signature
+    stops the loop exactly at the surviving triangle."""
+    from rio_spark.operators.graph import k_core
+
+    tail = [(f"n{i}", f"n{i+1}") for i in range(10)]
+    tri = [("n0", "x"), ("x", "n1")]  # n0-n1 + the two x edges close a triangle
+    edges = spark.createDataFrame(tail + tri, "a string, b string")
+    got = sorted(map(tuple, k_core(edges, k=2, rounds=None).collect()))
+    assert got == [("n0", "n1"), ("n0", "x"), ("x", "n1")]
+
+    # an already-converged graph terminates after one confirming round
+    tri_only = spark.createDataFrame(tri + [("n0", "n1")], "a string, b string")
+    assert k_core(tri_only, k=2, rounds=None).count() == 3
+
+    # a graph that empties terminates too (n==0 break)
+    chain = spark.createDataFrame([("a", "b"), ("b", "c")], "a string, b string")
+    assert k_core(chain, k=2, rounds=None).count() == 0

@@ -281,3 +281,45 @@ def test_streaming_windowed_counts(spark, tmp_path):
         assert got == events.count()
     finally:
         q.stop()
+
+
+def test_decontaminate_containment_and_guard(spark):
+    """Containment is measured toward the benchmark item: a corpus doc
+    holding a benchmark's full text flags at 1.0, a half-prefix flags
+    around 0.5, unrelated text never flags; max_bench_df drops grams
+    shared across the whole benchmark set from index AND denominator."""
+    from rio_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta epsilon zeta eta theta"),
+         ("b2", "one two three four five six seven eight")],
+        "bench_id string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [("full", "alpha beta gamma delta epsilon zeta eta theta"),
+         ("half", "alpha beta gamma delta"),
+         ("none", "totally unrelated words about other things entirely")],
+        "doc_id string, text string",
+    )
+    out = {(r.doc_id, r.bench_id): r.overlap
+           for r in decontaminate(corpus, bench, n=3, threshold=0.3).collect()}
+    assert out[("full", "b1")] == 1.0
+    assert abs(out[("half", "b1")] - 2 / 6) < 1e-6  # 2 of b1's 6 trigrams (round 6)
+    assert not any(d == "none" for d, _ in out)
+    assert not any(b == "b2" for _, b in out)
+
+    # boilerplate guard: a preamble gram shared by BOTH benchmark items is
+    # dropped when max_bench_df=1, so a doc made only of the preamble no
+    # longer flags against anything
+    bench2 = spark.createDataFrame(
+        [("b1", "shared preamble text alpha beta gamma"),
+         ("b2", "shared preamble text one two three")],
+        "bench_id string, text string",
+    )
+    pre_only = spark.createDataFrame(
+        [("p", "shared preamble text")], "doc_id string, text string"
+    )
+    flagged = decontaminate(pre_only, bench2, n=3, threshold=0.2).collect()
+    assert flagged  # without the guard the preamble doc flags
+    guarded = decontaminate(pre_only, bench2, n=3, threshold=0.2, max_bench_df=1).collect()
+    assert not guarded
