@@ -2556,11 +2556,13 @@ SELECT u AS doc_id, least(u, min(v)) AS group_id FROM reach GROUP BY u
 def q_corpus_clean_e2e(spark, sf_dir) -> DataFrame:
     """The training-data cleaning chain as ONE oracle-checked plan —
     the text-side analogue of kg_pipeline_e2e: documents (+injected exact
-    dups) -> language-ID gate (en) -> quality gate (>= 0.55) -> exact dedup
-    (keep group representative) -> near-dup LSH+CC (keep cluster leader) ->
-    sequence packing into 512-token bins.  Every stage is the catalog
-    operator, composed unchanged."""
-    from rio_spark.operators.dedup import near_dup_groups, normalize_text
+    dups) -> language-ID gate (en) -> quality gate (>= 0.55) -> benchmark
+    decontamination gate (docs containing >= 80% of a held-out eval item's
+    trigrams dropped — including the eval items themselves, which must not
+    be trained on) -> exact dedup (keep group representative) -> near-dup
+    LSH+CC (keep cluster leader) -> sequence packing into 512-token bins.
+    Every stage is the catalog operator, composed unchanged."""
+    from rio_spark.operators.dedup import decontaminate, near_dup_groups, normalize_text
     from rio_spark.operators.text import language_id, pack_sequences, quality_score
 
     docs = _documents(spark, sf_dir).select(
@@ -2573,9 +2575,16 @@ def q_corpus_clean_e2e(spark, sf_dir) -> DataFrame:
     )
     base = docs.unionByName(dups)
 
+    bench = _documents(spark, sf_dir).filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").cast("string").alias("bench_id"), "text"
+    )
+    contam = decontaminate(base, bench, n=3, threshold=0.8).select("doc_id").distinct()
     lang_ok = language_id(base).filter(F.col("lang_pred") == "en").select("doc_id")
     qual_ok = quality_score(base).filter(F.col("quality") >= 0.55).select("doc_id")
-    keep1 = base.join(lang_ok, "doc_id").join(qual_ok, "doc_id")
+    keep1 = (
+        base.join(lang_ok, "doc_id").join(qual_ok, "doc_id")
+        .join(contam, "doc_id", "left_anti")
+    )
 
     keyed = keep1.withColumn("h", F.md5(normalize_text(F.col("text"))))
     reps = keyed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
@@ -2608,10 +2617,33 @@ WITH RECURSIVE base AS (
 ),
 lang AS ({lang_sql}),
 qual AS ({qual_sql}),
+bt AS (
+  SELECT CAST(doc_id AS VARCHAR) AS bench_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE doc_id % 97 = 3
+),
+bs AS (SELECT bench_id, list_distinct({_SHINGLE3_SQL}) AS sh FROM bt),
+bex AS (SELECT bench_id, unnest(sh) AS g FROM bs),
+bsz AS (SELECT bench_id, count(*) AS bsz FROM bex GROUP BY 1),
+ct0 AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM base
+),
+cs0 AS (SELECT doc_id, list_distinct({_SHINGLE3_SQL}) AS sh FROM ct0),
+cex AS (SELECT doc_id, unnest(sh) AS g FROM cs0),
+contam AS (
+  SELECT DISTINCT x.doc_id FROM (
+    SELECT c.doc_id, b.bench_id, count(*) AS i
+    FROM cex c JOIN bex b USING (g) GROUP BY 1, 2
+  ) x JOIN bsz USING (bench_id)
+  WHERE x.i * 1.0 / bsz >= 0.8
+),
 keep1 AS (
   SELECT b.doc_id, b.text FROM base b
   JOIN lang l ON l.doc_id = b.doc_id AND l.lang_pred = 'en'
   JOIN qual q ON q.doc_id = b.doc_id AND q.quality >= 0.55
+  WHERE b.doc_id NOT IN (SELECT doc_id FROM contam)
 ),
 keyed AS (
   SELECT doc_id, text,
