@@ -2303,6 +2303,110 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_streaming_join_capped(spark, sf_dir) -> DataFrame:
+    """Capped stream-stream interval join (streaming/join.py
+    capped_interval_join_streams): clicks matched to purchases within the
+    following hour on a DELIBERATELY skewed key (user_id % 2 — two hot
+    keys, so over-cap windows exist at every sf), with at most cap=2
+    purchases per (key, hour window) joining,
+    smallest (ts, id) first, overflow marked ``truncated``.  The replay
+    stages the events file plus two far-future sentinel files and reads
+    one file per micro-batch, so the watermark closes (and the operator
+    emits) every real window: batch 1 = data, batch 2 = sentinel pushes
+    the watermark past the data, batch 3 = second sentinel fires the
+    remaining event-time timeouts.  Sentinel rows sit in windows the
+    watermark never reaches, so they emit nothing themselves."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rio_spark.streaming.join import capped_interval_join_streams
+    from rio_spark.streaming.windows import read_event_stream
+
+    stage = tempfile.mkdtemp(prefix="rio_capped_join_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/a_events.parquet")
+    schema = pq.read_schema(f"{sf_dir}/events.parquet").remove_metadata()
+    for i, (name, day) in enumerate([("b_flush1", 1), ("c_flush2", 2)]):
+        ts = datetime.datetime(2099, 1, day)
+        # distinct keys (user 0 vs 1): the two sentinel rows advance both
+        # sides' watermarks but can never match EACH OTHER if a final
+        # flush batch closes their window
+        sent = pa.table(
+            {
+                "event_id": [-1 - 2 * i, -2 - 2 * i],
+                "ts": [ts, ts],
+                "user_id": [0, 1],
+                "event_type": ["click", "purchase"],
+                "value": [0.0, 0.0],
+                "props": ["{}", "{}"],
+            },
+            schema=schema,
+        )
+        path = f"{stage}/{name}.parquet"
+        pq.write_table(sent, path)
+        os.utime(path, (1_000_000 + i + 1, 1_000_000 + i + 1))
+    os.utime(f"{stage}/a_events.parquet", (1_000_000, 1_000_000))
+
+    ev = read_event_stream(spark, stage, max_files=1)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % 2).alias("k5"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("k5"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    pairs = capped_interval_join_streams(
+        clicks, purchases, key="k5",
+        left_ts="c_ts", right_ts="p_ts",
+        left_id="click_id", right_id="purchase_id",
+        within_s=3600, watermark="30 minutes", cap=2,
+    )
+    return _drain_stream(pairs, "append").select(
+        "k", "left_id", "right_id", "truncated"
+    )
+
+
+# batch recompute: rank purchases by (ts, CAST(id AS VARCHAR)) inside each
+# (key, hour window) — string order on the id tiebreak matches the
+# operator's string-typed state — keep rank <= 2, join under the interval,
+# flag windows that overflowed
+ORACLE_STREAMING_JOIN_CAPPED = """
+WITH c AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS k, ts, event_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS k, ts, event_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w
+  FROM events WHERE event_type = 'purchase'
+),
+pr AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY k, w ORDER BY ts, CAST(event_id AS VARCHAR)
+         ) AS rn,
+         count(*) OVER (PARTITION BY k, w) AS cnt
+  FROM p
+)
+SELECT c.k,
+       CAST(c.event_id AS VARCHAR) AS left_id,
+       CAST(pr.event_id AS VARCHAR) AS right_id,
+       (pr.cnt > 2) AS truncated
+FROM c JOIN pr
+  ON c.k = pr.k
+ AND pr.ts >= c.ts
+ AND pr.ts <= c.ts + INTERVAL 1 HOUR
+WHERE pr.rn <= 2
+"""
+
+
 def q_text_repetition(spark, sf_dir) -> DataFrame:
     """Repetition quality signal (operators/text.py repetition_stats):
     duplicated-trigram fraction per document, the Gopher-style repetitious-
@@ -3116,6 +3220,7 @@ QUERIES = {
     # the queries whose query OR oracle round 5 changed -------------------
     "dedup_decontaminate": q_dedup_decontaminate,
     "kg_kcore_fixpoint": q_kg_kcore_fixpoint,
+    "streaming_join_capped": q_streaming_join_capped,
     "dedup_minhash": q_dedup_minhash,
     "dedup_near_groups": q_dedup_near_groups,
     "text_pack_batches": q_text_pack_batches,
@@ -3164,13 +3269,13 @@ QUERIES = {
     "kg_bgp_star": q_kg_bgp_star,
     "kg_pipeline_e2e": q_kg_pipeline_e2e,
     "kg_extract_nt": q_kg_extract_nt,
-    "kg_extract_turtle": q_kg_extract_turtle,
     "kg_error_recovery": q_kg_error_recovery,
     "kg_entity_linking": q_kg_entity_linking,
     # -- TAIL [50:]: driver-green in round 4 (CORRECTNESS_r04), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be
     # within one round of the latest recorded round) -----------------------
     "streaming_join": q_streaming_join,
+    "kg_extract_turtle": q_kg_extract_turtle,
     "dedup_exact": q_dedup_exact,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "text_repetition": q_text_repetition,
@@ -3215,6 +3320,7 @@ QUERIES = {
 ORACLES = {
     "dedup_decontaminate": ORACLE_DEDUP_DECONTAMINATE,
     "kg_kcore_fixpoint": ORACLE_KG_KCORE_FIXPOINT,
+    "streaming_join_capped": ORACLE_STREAMING_JOIN_CAPPED,
     "kg_extract_nt": ORACLE_KG_EXTRACT_NT,
     "kg_extract_turtle": ORACLE_KG_EXTRACT_TURTLE,
     "kg_extract_rdfxml": ORACLE_KG_EXTRACT_RDFXML,

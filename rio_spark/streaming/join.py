@@ -52,3 +52,131 @@ def interval_join_streams(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+CAPPED_OUTPUT_SCHEMA = "k string, left_id string, right_id string, truncated boolean"
+CAPPED_STATE_SCHEMA = (
+    "l_ts array<long>, l_id array<string>, "
+    "r_ts array<long>, r_id array<string>, r_seen long"
+)
+
+
+def capped_interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_id: str,
+    within_s: int = 3600,
+    watermark: str = "30 minutes",
+    cap: int = 4,
+) -> DataFrame:
+    """Interval join with a DETERMINISTIC hot-key bound — the ``bucket_cap``
+    analogue (dedup.minhash_lsh_pairs) for the stream-stream join's
+    quadratic hazard (see interval_join_streams docstring): per join key
+    and per tumbling window of span ``within_s``, only the ``cap`` right
+    rows smallest by ``(event time, right_id string)`` participate; matches
+    whose (key, window) overflowed carry ``truncated=true`` so the loss is
+    observable, never silent.  Output is bounded at |L| x cap per window
+    however hot the key.
+
+    Cap membership is a property of the window's FINAL row set (the cap
+    smallest), not of arrival order — a streaming top-k under inserts is
+    order-insensitive — so the emitted match set is deterministic across
+    replays.  That requires emitting a (key, window) group only once it is
+    CLOSED: a custom stateful operator (``applyInPandasWithState``,
+    EventTimeTimeout) buffers the group and emits at the event-time timeout
+    when the watermark passes the window end.  Per-group state is the cap
+    rights + the window's left rows + one counter; the left side carries
+    the same bound Spark's own stream-stream join state does (watermark x
+    arrival rate), while the right side — the hot side being capped — is
+    O(cap).  Each left row is routed to the (at most) two windows its
+    ``[ts, ts+within]`` interval can reach, each right row to exactly one,
+    so every match is emitted exactly once.
+
+    Replay note: groups emit when the watermark CLOSES their window, so a
+    bounded replay (availableNow) must end with flush ticks that push the
+    watermark past the data — the catalog query stages sentinel files for
+    this; a live deployment gets the same effect from the stream simply
+    continuing.  Returns (k, left_id, right_id, truncated) — join payloads
+    back by id downstream (a batch enrich join), keeping this operator's
+    state and output schema fixed and minimal.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    w_us = within_s * 1_000_000
+
+    def prep(df: DataFrame, ts: str, id_col: str, side: str) -> DataFrame:
+        return df.withWatermark(ts, watermark).select(
+            F.col(key).cast("string").alias("k"),
+            F.lit(side).alias("side"),
+            F.col(ts).alias("ts"),
+            F.unix_micros(F.col(ts)).alias("ts_us"),
+            F.col(id_col).cast("string").alias("id"),
+        )
+
+    l = prep(left, left_ts, left_id, "L").withColumn(
+        "w", F.explode(F.array(
+            F.floor(F.col("ts_us") / F.lit(w_us)),
+            F.floor(F.col("ts_us") / F.lit(w_us)) + 1,
+        ))
+    )
+    r = prep(right, right_ts, right_id, "R").withColumn(
+        "w", F.floor(F.col("ts_us") / F.lit(w_us))
+    )
+    both = l.unionByName(r)
+
+    cols = ["k", "left_id", "right_id", "truncated"]
+
+    def fn(group_key, pdfs, state: GroupState):
+        k, w = group_key
+        if state.hasTimedOut:
+            l_ts, l_id, r_ts, r_id, r_seen = state.get
+            trunc = bool(r_seen > cap)
+            rows = [
+                (k, li, ri, trunc)
+                for lt, li in zip(l_ts, l_id)
+                for rt, ri in zip(r_ts, r_id)
+                if lt <= rt <= lt + w_us
+            ]
+            state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            return
+        if state.exists:
+            l_ts, l_id, r_ts, r_id, r_seen = state.get
+            l_ts, l_id = list(l_ts), list(l_id)
+            rights = list(zip(r_ts, r_id))
+            r_seen = int(r_seen)
+        else:
+            l_ts, l_id, rights, r_seen = [], [], [], 0
+        for pdf in pdfs:
+            is_left = pdf["side"] == "L"
+            lp, rp = pdf[is_left], pdf[~is_left]
+            l_ts.extend(int(v) for v in lp["ts_us"])
+            l_id.extend(str(v) for v in lp["id"])
+            fresh = [(int(t), str(i)) for t, i in zip(rp["ts_us"], rp["id"])]
+            r_seen += len(fresh)
+            # running top-cap by (event time, id): order-insensitive
+            rights = sorted(rights + fresh)[:cap]
+        state.update((
+            l_ts, l_id, [t for t, _ in rights], [i for _, i in rights], r_seen
+        ))
+        state.setTimeoutTimestamp(max(
+            (int(w) + 1) * within_s * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        ))
+        return
+        yield  # pragma: no cover — makes fn a generator on the data path too
+
+    return both.groupBy("k", "w").applyInPandasWithState(
+        fn,
+        outputStructType=CAPPED_OUTPUT_SCHEMA,
+        stateStructType=CAPPED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -17,11 +17,18 @@ EVENT_SCHEMA = (
 )
 
 
-def read_event_stream(spark, path: str, glob: str | None = None) -> DataFrame:
+def read_event_stream(
+    spark, path: str, glob: str | None = None, max_files: int = 4
+) -> DataFrame:
     """File-source event stream. ``path`` must be a directory (Spark's file
     source requires a basePath); pass ``glob`` to select one table's file(s)
-    inside a directory of many (e.g. ``events.parquet`` in an sf dir)."""
-    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 4)
+    inside a directory of many (e.g. ``events.parquet`` in an sf dir).
+    ``max_files=1`` gives one micro-batch per file in modification-time
+    order — the replay knob the watermark-closed operators (e.g. the capped
+    interval join's sentinel flush) rely on."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", max_files
+    )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.parquet(path)

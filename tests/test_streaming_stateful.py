@@ -79,3 +79,76 @@ def test_streaming_dedup_bounded_state_evicts_oldest(spark, tmp_path):
         q.stop()
 
     assert sorted(out.doc_id) == ["a", "b", "c", "d"]  # d = re-admitted t1
+
+
+def test_capped_interval_join_hand_case(spark, tmp_path):
+    """One hot key, one hour window holding 3 purchases with cap=2: only the
+    two smallest-(ts, id) purchases join, matches carry truncated=true; a
+    quiet key's single match stays unmarked. Two sentinel files drive the
+    watermark past the data so the windows close and emit."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from rio_spark.streaming.join import capped_interval_join_streams
+
+    def ev(eid, minute, user, kind):
+        return (eid, datetime(2024, 1, 1, 10, minute), user, kind)
+
+    rows = [
+        ev(1, 0, 0, "click"),
+        ev(10, 5, 0, "purchase"),
+        ev(11, 10, 0, "purchase"),
+        ev(12, 15, 0, "purchase"),  # 3rd purchase in (key 0, 10:00) -> capped
+        ev(2, 0, 1, "click"),
+        ev(20, 20, 1, "purchase"),
+    ]
+    sentinels = [
+        [(90, datetime(2099, 1, 1), 50, "click"), (91, datetime(2099, 1, 1), 51, "purchase")],
+        [(92, datetime(2099, 2, 1), 50, "click"), (93, datetime(2099, 2, 1), 51, "purchase")],
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = tmp_path / "src"
+    src.mkdir()
+    import os
+    for i, batch in enumerate([rows] + sentinels):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("cid")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("pid")
+    )
+    out = capped_interval_join_streams(
+        clicks, purchases, key="user_id",
+        left_ts="c_ts", right_ts="p_ts", left_id="cid", right_id="pid",
+        within_s=3600, watermark="10 minutes", cap=2,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("capped_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM capped_join").toPandas()
+    finally:
+        q.stop()
+
+    pairs = {(r.k, r.left_id, r.right_id): r.truncated for r in got.itertuples()}
+    assert pairs == {
+        ("0", "1", "10"): True,
+        ("0", "1", "11"): True,   # purchase 12 displaced by the cap
+        ("1", "2", "20"): False,  # quiet key unmarked
+    }
