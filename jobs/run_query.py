@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("--list", action="store_true", help="list catalog queries and exit")
     ap.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     ap.add_argument("--oracle", action="store_true", help="print the DuckDB oracle SQL and exit")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="repeat the query: run 1 is cold, steady = min of the rest "
+                         "(fresh-JVM probe mode for bench.py's pinned timings)")
     args = ap.parse_args()
 
     from rio_spark.plans.catalog import ORACLES, QUERIES
@@ -53,6 +56,17 @@ def main() -> int:
     df = QUERIES[args.name](spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
+        return 0
+    if args.runs > 1:
+        runs = []
+        n = 0
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            n = QUERIES[args.name](spark, args.sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        print(json.dumps({"query": args.name, "rows": n, "cold": runs[0],
+                          "steady": min(runs[1:]), "all_runs_sec": runs,
+                          "sf_dir": args.sf_dir}))
         return 0
     t0 = time.perf_counter()
     n = df.count()
