@@ -302,3 +302,33 @@ def ann_topk_lsh(
     if fallback_to_brute and cand.count() < k:  # explicit opt-in, extra job
         cand = embeddings
     return topk_cosine(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_dup_groups(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate GROUPS end-to-end: LSH-bucketed
+    cosine pairs -> hub-safe connected components -> (vec_id, group_id),
+    group_id = min id of the cluster — the embedding-space twin of
+    dedup.near_dup_groups (the MinHash text path), sharing its 100 TB
+    shape: the pair graph is only in-bucket candidates (never all-pairs)
+    and the transitive closure is the same large/small-star CC the KG
+    alias merge uses.  Vectors in no cluster are omitted; the caller's
+    keep-filter is ``group_id == vec_id`` plus a left anti-join, exactly
+    like the text path."""
+    from rio_spark.operators.canonicalize import connected_components
+
+    pairs = cosine_pairs_lsh(
+        embeddings, threshold, n_planes, id_col, vec_col, planes=planes
+    )
+    cc = connected_components(
+        pairs.select("vec_a", "vec_b"), src="vec_a", dst="vec_b"
+    )
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("group_id")
+    )

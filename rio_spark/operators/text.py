@@ -463,3 +463,41 @@ def repetition_stats(
     return docs.select(
         F.col(id_col).cast("string").alias("doc_id"), F.inline(F.array(stats))
     )
+
+
+def corpus_mix_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bins: int = 5,
+) -> DataFrame:
+    """The corpus composition ("data recipe") report a training run is
+    steered by: documents bucketed by predicted language x quality band ->
+    (lang_pred, q_bucket, n_docs, total_tokens, doc_share).
+
+    Composes the audited scorers unchanged (language_id, quality_score,
+    token_stats — all let-bound single-pass projections) through two
+    equi-joins on doc_id, one map-side-combinable aggregate, and a 1-row
+    broadcast join for the share denominator; nothing here materializes
+    per-token state, so the report costs ~one scan at any corpus size.
+    ``q_bucket`` = least(floor(quality * bins), bins-1) — identical float
+    arithmetic on both engines given the scorers' rounded quality."""
+    j = (
+        language_id(docs, id_col, text_col).select(id_col, "lang_pred")
+        .join(quality_score(docs, id_col, text_col).select(id_col, "quality"), id_col)
+        .join(token_stats(docs, id_col, text_col).select(id_col, "n_tokens"), id_col)
+    )
+    bucket = F.least(F.floor(F.col("quality") * bins), F.lit(bins - 1)).cast("int")
+    per = j.groupBy(F.col("lang_pred"), bucket.alias("q_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("__t")).withColumn("__k", F.lit(1))
+    return (
+        per.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "lang_pred", "q_bucket", "n_docs", "total_tokens",
+            F.round(F.col("n_docs") / F.col("__t"), 6).alias("doc_share"),
+        )
+    )

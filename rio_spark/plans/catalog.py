@@ -3205,6 +3205,76 @@ FROM n a JOIN n b
 """
 
 
+def q_sim_dup_groups(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup grouping e2e (similarity.py embedding_dup_groups):
+    LSH-bucketed cosine pairs -> hub-safe CC -> (vec_id, group_id) — the
+    embedding-space twin of dedup_near_groups, same recursive-CTE closure
+    oracle shape."""
+    from rio_spark.operators.similarity import embedding_dup_groups
+
+    return embedding_dup_groups(_embeddings(spark, sf_dir), threshold=0.3, n_planes=4)
+
+
+ORACLE_SIM_DUP_GROUPS = f"""
+WITH RECURSIVE p AS ({_PLANES_SQL}),
+e2 AS (
+  SELECT vec_id, e.embedding::DOUBLE[] AS v, {_BUCKET4_SQL} AS bucket
+  FROM embeddings e, p
+),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v2
+  FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+),
+sym AS (SELECT u, v2 FROM pairs UNION SELECT v2, u FROM pairs),
+reach AS (
+  SELECT u, v2 FROM sym
+  UNION
+  SELECT r.u, s.v2 FROM reach r JOIN sym s ON r.v2 = s.u
+)
+SELECT u AS vec_id, least(u, min(v2)) AS group_id FROM reach GROUP BY u
+"""
+
+
+def q_corpus_mix(spark, sf_dir) -> DataFrame:
+    """Corpus composition report (operators/text.py corpus_mix_report):
+    docs bucketed by predicted language x quality band with doc/token
+    counts and corpus share — the data-recipe table a training mix is
+    steered by."""
+    from rio_spark.operators.text import corpus_mix_report
+
+    return corpus_mix_report(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+
+
+def _oracle_corpus_mix() -> str:
+    return f"""
+WITH lang AS ({_oracle_langid()}),
+qual AS ({_oracle_quality()}),
+t AS ({_TOKS_SQL}),
+tok AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+j AS (
+  SELECT l.lang_pred, q.quality, tok.n_tokens
+  FROM lang l JOIN qual q USING (doc_id) JOIN tok USING (doc_id)
+),
+per AS (
+  SELECT lang_pred,
+         CAST(least(floor(quality * 5), 4) AS INT) AS q_bucket,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM j GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM per)
+SELECT lang_pred, q_bucket, n_docs, total_tokens,
+       round(CAST(n_docs AS DOUBLE) / t, 6) AS doc_share
+FROM per, tot
+"""
+
+
 # Dict ORDER is load-bearing: the correctness driver checks at most the
 # FIRST 50 entries in insertion order (observed: CORRECTNESS_r02's 50 rows
 # are exactly queries()[0:50] of the round-2 ordering — an exact
@@ -3221,6 +3291,8 @@ QUERIES = {
     "dedup_decontaminate": q_dedup_decontaminate,
     "kg_kcore_fixpoint": q_kg_kcore_fixpoint,
     "streaming_join_capped": q_streaming_join_capped,
+    "sim_dup_groups": q_sim_dup_groups,
+    "corpus_mix": q_corpus_mix,
     "dedup_minhash": q_dedup_minhash,
     "dedup_near_groups": q_dedup_near_groups,
     "text_pack_batches": q_text_pack_batches,
@@ -3268,13 +3340,13 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_bgp_star": q_kg_bgp_star,
     "kg_pipeline_e2e": q_kg_pipeline_e2e,
-    "kg_extract_nt": q_kg_extract_nt,
-    "kg_error_recovery": q_kg_error_recovery,
     "kg_entity_linking": q_kg_entity_linking,
     # -- TAIL [50:]: driver-green in round 4 (CORRECTNESS_r04), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be
     # within one round of the latest recorded round) -----------------------
     "streaming_join": q_streaming_join,
+    "kg_extract_nt": q_kg_extract_nt,
+    "kg_error_recovery": q_kg_error_recovery,
     "kg_extract_turtle": q_kg_extract_turtle,
     "dedup_exact": q_dedup_exact,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -3321,6 +3393,8 @@ ORACLES = {
     "dedup_decontaminate": ORACLE_DEDUP_DECONTAMINATE,
     "kg_kcore_fixpoint": ORACLE_KG_KCORE_FIXPOINT,
     "streaming_join_capped": ORACLE_STREAMING_JOIN_CAPPED,
+    "sim_dup_groups": ORACLE_SIM_DUP_GROUPS,
+    "corpus_mix": _oracle_corpus_mix(),
     "kg_extract_nt": ORACLE_KG_EXTRACT_NT,
     "kg_extract_turtle": ORACLE_KG_EXTRACT_TURTLE,
     "kg_extract_rdfxml": ORACLE_KG_EXTRACT_RDFXML,
