@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "kg_bgp_star",
     "kg_pagerank",
     "streaming_join_capped",
+    "sim_dup_groups",
+    "corpus_mix",
     "corpus_clean_e2e",
 ]
 
