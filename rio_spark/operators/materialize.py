@@ -1,27 +1,51 @@
-"""Graph-table materialization with MERGE-style dedup, lineage, and resume (K6).
+"""Graph-table materialization with MERGE-style dedup, snapshots, lineage,
+and resume (K6).
 
 Production design (SURVEY.md §4.3): an Iceberg table partitioned by
 ``bucket(N, subject)`` + ``graph``, written with ``MERGE INTO`` on the quad
 key, one lineage row per committed input partition. The Iceberg runtime jar
-is not on this image's classpath, so the same contract is implemented on
-parquet:
+is not on this image's classpath, so the same contract — including the
+TRANSACTIONAL part — is implemented on parquet with Iceberg's own recipe,
+a manifest-committed snapshot layer:
 
-* graph table   — parquet dir partitioned by ``p_bucket = pmod(xxhash64(subject), N)``
-                  (hidden-partitioning analogue; subject-key joins prune buckets);
-* MERGE         — append-only with an anti-join against the existing quad set
-                  restricted to the incoming buckets (no full-table rewrite);
+* data files    — parquet parts under ``graph/p_bucket=N/`` (hidden-
+                  partitioning analogue of ``bucket(N, subject)``); files
+                  are append-only and NEVER mutated or renamed;
+* snapshots     — ``_manifests/manifest-<n>.json`` lists the exact data
+                  files of snapshot ``n``; ``_manifests/CURRENT`` holds the
+                  live snapshot number and is flipped by an atomic
+                  ``os.replace`` — the ONLY mutation visible to readers;
+* MERGE         — anti-join against the live quad set restricted to the
+                  incoming buckets (file-level pruning straight from the
+                  manifest), append the new files, commit a new manifest;
+* compaction    — rewrites a fragmented bucket into new files and commits a
+                  manifest that swaps them in; a METADATA flip, invisible
+                  to readers, old snapshots still readable (time travel);
 * lineage       — parquet table (input_snapshot_id, partition_hash,
                   triple_count, committed_at); a partition is the unit of
-                  commit AND of resume: reruns anti-join the input partition
-                  list against lineage and skip committed ones.
+                  commit AND of resume: reruns anti-join the input
+                  partition list against lineage and skip committed ones;
+* expiry        — ``expire_snapshots(keep_last=k)`` drops old manifests and
+                  deletes data files no kept snapshot references (also
+                  garbage-collects orphans from crashed writes).
 
-Atomicity caveat: parquet append is not transactional; Iceberg snapshots
-provide that in production. The resume contract (no duplicate quads, skip
-committed partitions) is what the tests pin down.
+Crash safety falls out of the commit protocol: every mutation is
+(1) append data files — invisible, no manifest references them;
+(2) write ``manifest-<n+1>.json`` — inert until referenced;
+(3) atomically flip ``CURRENT``.
+A crash in any window leaves the store exactly at the previous snapshot;
+there is nothing to recover, only orphan files for expiry to sweep.  Reads
+are PURE (r4 ADVICE) and fully snapshot-isolated: ``graph()`` pins a
+manifest and reads exactly its file list, so a reader racing a live
+compaction or merge sees a consistent snapshot, never a partial bucket.
+Single-writer per store for the WRITE paths (merge/compact/expire), as with
+Iceberg's optimistic single-commit semantics.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import re
 import time
 from pathlib import Path
@@ -29,11 +53,15 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 GRAPH_COLUMNS = ["subject", "predicate", "object", "graph", "p_bucket"]
-# strict bucket-dir name: `p_bucket=N` only — `.compacting` / `.old` staging
-# dirs from an interrupted compaction must never parse as buckets
+# strict bucket-dir name: `p_bucket=N` only — stray staging/temp dirs must
+# never parse as buckets
 _BUCKET_DIR_RE = re.compile(r"^p_bucket=(\d+)$")
+_MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
 LINEAGE_SCHEMA = (
     "input_snapshot_id string, partition_hash string, triple_count long, committed_at double"
+)
+_EMPTY_GRAPH_SCHEMA = (
+    "subject string, predicate string, object string, graph string, p_bucket int"
 )
 
 
@@ -43,31 +71,100 @@ class GraphStore:
         self.n_buckets = n_buckets
         self.graph_dir = str(self.root / "graph")
         self.lineage_dir = str(self.root / "lineage")
+        self.manifests_dir = self.root / "_manifests"
 
-    # -- reads ---------------------------------------------------------------
+    # -- snapshot metadata ----------------------------------------------------
 
-    def graph(self, spark: SparkSession) -> DataFrame:
-        """Pure read — never mutates the store (r4 ADVICE: a reader running
-        destructive recovery races a live compact() in another process and
-        deletes its in-progress staging dir).  Staging dirs a crashed
-        compact() left behind (``p_bucket=N.compacting`` / ``.old``) are
-        simply NOT listed: only dirs matching ``p_bucket=\\d+`` are read,
-        via explicit paths + basePath so partition discovery still yields
-        the p_bucket column.  Destructive recovery runs only on the
-        single-writer paths (merge()/compact() entry).  A reader racing a
-        live swap can transiently miss the one bucket mid-rename — the
-        documented parquet stand-in semantics for Iceberg's snapshot
-        isolation (schedule compaction in the maintenance window)."""
+    def current_snapshot(self) -> int | None:
+        cur = self.manifests_dir / "CURRENT"
+        if not cur.exists():
+            return None
+        return int(cur.read_text().strip())
+
+    def snapshots(self) -> list[dict]:
+        """All committed snapshot manifests, oldest first (time travel index)."""
+        if not self.manifests_dir.exists():
+            return []
+        out = []
+        for p in sorted(self.manifests_dir.iterdir()):
+            m = _MANIFEST_RE.match(p.name)
+            if m:
+                out.append(json.loads(p.read_text()))
+        return sorted(out, key=lambda d: d["snapshot"])
+
+    def _read_manifest(self, n: int) -> dict:
+        p = self.manifests_dir / f"manifest-{n}.json"
+        if not p.exists():
+            raise ValueError(f"unknown or expired snapshot {n}")
+        return json.loads(p.read_text())
+
+    def _list_data_files(self) -> set[str]:
+        """All parquet parts on disk, as graph_dir-relative paths."""
         root = Path(self.graph_dir)
-        bucket_dirs = sorted(
-            str(d) for d in root.glob("p_bucket=*")
-            if _BUCKET_DIR_RE.match(d.name)
-        ) if root.exists() else []
-        if not bucket_dirs:
-            return spark.createDataFrame(
-                [], "subject string, predicate string, object string, graph string, p_bucket int"
-            )
-        return spark.read.option("basePath", self.graph_dir).parquet(*bucket_dirs)
+        if not root.exists():
+            return set()
+        return {
+            f"{d.name}/{f.name}"
+            for d in root.iterdir()
+            if d.is_dir() and _BUCKET_DIR_RE.match(d.name)
+            for f in d.iterdir()
+            if f.name.endswith(".parquet")
+        }
+
+    def _live_files(self, snapshot: int | None = None) -> list[str]:
+        """graph_dir-relative data files of ``snapshot`` (default: CURRENT).
+        Legacy stores (data but no manifests) fall back to the disk listing —
+        a pure read; the first write commits a bootstrap manifest."""
+        n = self.current_snapshot() if snapshot is None else snapshot
+        if n is None:
+            return sorted(self._list_data_files())  # legacy / empty store
+        return self._read_manifest(n)["files"]
+
+    def _commit(self, files: set[str], op: str) -> int:
+        """Write manifest-(n+1) then atomically flip CURRENT. Numbering is
+        max-on-disk + 1 (not CURRENT + 1), so a crashed commit that left an
+        un-flipped manifest can never collide."""
+        self.manifests_dir.mkdir(parents=True, exist_ok=True)
+        nums = [
+            int(_MANIFEST_RE.match(p.name).group(1))
+            for p in self.manifests_dir.iterdir()
+            if _MANIFEST_RE.match(p.name)
+        ]
+        n = (max(nums) + 1) if nums else 0
+        manifest = {
+            "snapshot": n,
+            "parent": self.current_snapshot(),
+            "op": op,
+            "files": sorted(files),
+            "n_files": len(files),
+            "committed_at": time.time(),
+        }
+        (self.manifests_dir / f"manifest-{n}.json").write_text(json.dumps(manifest))
+        tmp = self.manifests_dir / "CURRENT.tmp"
+        tmp.write_text(str(n))
+        os.replace(tmp, self.manifests_dir / "CURRENT")  # the atomic commit
+        return n
+
+    def _bootstrap_if_legacy(self) -> None:
+        """Writer-path upgrade: a pre-manifest store (bucket dirs, no
+        CURRENT) gets its on-disk file set committed as snapshot 0."""
+        if self.current_snapshot() is None and self._list_data_files():
+            self._commit(self._list_data_files(), "bootstrap")
+
+    # -- reads (pure: never mutate the store) ---------------------------------
+
+    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], _EMPTY_GRAPH_SCHEMA)
+        paths = [f"{self.graph_dir}/{f}" for f in files]
+        return spark.read.option("basePath", self.graph_dir).parquet(*paths)
+
+    def graph(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        """The quad set of ``snapshot`` (default: the live snapshot) —
+        snapshot-isolated: exactly the pinned manifest's files are read, so
+        concurrent merges/compactions are invisible. ``snapshot=<n>`` is
+        time travel to any unexpired snapshot."""
+        return self._read_files(spark, self._live_files(snapshot))
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         if not Path(self.lineage_dir).exists():
@@ -93,26 +190,28 @@ class GraphStore:
         )
 
     def merge(self, spark: SparkSession, triples: DataFrame) -> int:
-        """MERGE semantics: insert quads not already present. Returns rows added.
-
-        The anti-join reads only the buckets the incoming batch touches
-        (partition pruning on p_bucket), so merge cost scales with batch
-        size, not table size."""
-        # single-writer path: heal any crashed compaction before reading, so
-        # a bucket left mid-swap (live dir renamed aside) is visible to the
-        # anti-join — graph() alone would silently skip it
-        if Path(self.graph_dir).exists():
-            self._recover_interrupted_compactions(Path(self.graph_dir))
+        """MERGE semantics: insert quads not already present. Returns rows
+        added. The anti-join reads only the live FILES of the buckets the
+        incoming batch touches (file-level pruning straight from the
+        manifest — no directory listing, no partition discovery), so merge
+        cost scales with batch size, not table size. The append + manifest
+        flip is the Iceberg commit: a crash anywhere leaves the previous
+        snapshot live and at most orphan files for expiry."""
+        self._bootstrap_if_legacy()
         batch = self._bucketed(triples).dropDuplicates(
             ["subject", "predicate", "object", "graph"]
         )
-        existing = self.graph(spark)
-        if existing.isEmpty():
+        live = self._live_files()
+        if not live:
             new_rows = batch
         else:
-            buckets = [r["p_bucket"] for r in batch.select("p_bucket").distinct().collect()]
+            buckets = {
+                f"p_bucket={r['p_bucket']}"
+                for r in batch.select("p_bucket").distinct().collect()
+            }
+            scoped_files = [f for f in live if f.split("/", 1)[0] in buckets]
             scoped = (
-                existing.filter(F.col("p_bucket").isin(buckets))
+                self._read_files(spark, scoped_files)
                 .select("subject", "predicate", "object", "graph")
                 .alias("ex")
             )
@@ -129,7 +228,10 @@ class GraphStore:
         new_rows = new_rows.cache()
         n = new_rows.count()
         if n:
+            before = self._list_data_files()
             new_rows.write.mode("append").partitionBy("p_bucket").parquet(self.graph_dir)
+            added = self._list_data_files() - before
+            self._commit(set(live) | added, "merge")
         new_rows.unpersist()
         return n
 
@@ -152,85 +254,68 @@ class GraphStore:
         per task per touched bucket, so a long-lived store accumulates
         thousands of KB-sized files per bucket and scan/planning cost
         explodes — THE standing maintenance problem of incremental lakehouse
-        tables.  Buckets at or above ``min_files`` files are rewritten into
-        ``ceil(rows / target_rows_per_file)`` files.
+        tables.  Buckets at or above ``min_files`` live files are rewritten
+        into ``ceil(rows / target_rows_per_file)`` files.
 
         Returns {bucket: (files_before, files_after)}.  Only oversized
         buckets are touched (cost scales with fragmentation, not table
         size), contents are bit-preserved (pinned by tests), and lineage is
-        untouched — compaction is invisible to resume.  Like merge, the
-        directory swap is the parquet stand-in for Iceberg's transactional
-        ``rewrite_data_files``; readers racing the swap can see a partial
-        bucket, so schedule it in the maintenance window.
-
-        Crash safety: the rewrite is an atomic-rename swap — the staged dir
-        is fully written (``_SUCCESS`` present) before the live dir is
-        renamed aside, then the staged dir renamed in, then the old dir
-        deleted.  A crash in ANY window leaves either the originals or the
-        complete rewrite reachable; ``_recover_interrupted_compactions``
-        (called on every compact() entry) rolls the bucket forward or back.
+        untouched — compaction is invisible to resume.  This is Iceberg's
+        ``rewrite_data_files``: new files are written, then ONE manifest
+        commit swaps them in atomically.  Readers racing the compaction
+        keep their pinned snapshot (old files stay on disk until
+        ``expire_snapshots``), so there is no partial-bucket window at all.
         """
         import math
-        import shutil
+        from collections import defaultdict
 
+        self._bootstrap_if_legacy()
+        live = self._live_files()
+        per_bucket: dict[str, list[str]] = defaultdict(list)
+        for f in live:
+            per_bucket[f.split("/", 1)[0]].append(f)
         report: dict[int, tuple[int, int]] = {}
-        root = Path(self.graph_dir)
-        if not root.exists():
-            return report
-        self._recover_interrupted_compactions(root)
-        for bdir in sorted(root.glob("p_bucket=*")):
-            m = _BUCKET_DIR_RE.match(bdir.name)
-            if m is None:  # never treat .compacting/.old staging dirs as buckets
+        files = set(live)
+        changed = False
+        for bdir, bfiles in sorted(per_bucket.items()):
+            if len(bfiles) < min_files:
                 continue
-            files = sorted(bdir.glob("*.parquet"))
-            if len(files) < min_files:
-                continue
-            bucket = int(m.group(1))
-            df = spark.read.parquet(str(bdir))
+            bucket = int(_BUCKET_DIR_RE.match(bdir).group(1))
+            df = self._read_files(spark, bfiles)
             n = df.count()
             n_out = max(1, math.ceil(n / target_rows_per_file))
-            staging = bdir.with_name(bdir.name + ".compacting")
-            old = bdir.with_name(bdir.name + ".old")
-            if staging.exists():
-                shutil.rmtree(staging)
-            df.repartition(n_out).write.mode("overwrite").parquet(str(staging))
-            # swap: live -> .old, staged -> live, drop .old. Each step is one
-            # rename; recovery can always finish or undo a half-done swap.
-            bdir.rename(old)
-            staging.rename(bdir)
-            shutil.rmtree(old)
-            report[bucket] = (len(files), len(sorted(bdir.glob("*.parquet"))))
+            before = self._list_data_files()
+            df.repartition(n_out).write.mode("append").partitionBy(
+                "p_bucket"
+            ).parquet(self.graph_dir)
+            added = self._list_data_files() - before
+            files = (files - set(bfiles)) | added
+            changed = True
+            report[bucket] = (len(bfiles), len(added))
+        if changed:
+            self._commit(files, "compact")
         return report
 
-    @staticmethod
-    def _recover_interrupted_compactions(root: Path) -> None:
-        """Finish or roll back bucket swaps a crashed compact() left behind.
-
-        States (staging = ``p_bucket=N.compacting``, old = ``p_bucket=N.old``,
-        live = ``p_bucket=N``):
-
-        * live present, staging present  -> crash before the swap started;
-          the originals are authoritative, drop the staging dir.
-        * live absent, staging present   -> crash between the two renames;
-          staging was fully written (it is only ever renamed in after
-          ``_SUCCESS``), so promote it to live, then drop any ``.old``.
-        * live present, old present      -> crash after the swap, before
-          cleanup; the rewrite is live, drop the ``.old`` leftovers.
-        """
-        import shutil
-
-        for staging in sorted(root.glob("p_bucket=*.compacting")):
-            live = staging.with_name(staging.name[: -len(".compacting")])
-            old = live.with_name(live.name + ".old")
-            if live.exists():
-                shutil.rmtree(staging)
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` snapshots and delete every
+        data file no kept snapshot references — including orphans from
+        crashed writes (files on disk that no manifest ever committed).
+        Returns the number of data files deleted.  Write-path maintenance
+        (single-writer): running it concurrently with a live merge would
+        sweep the merge's not-yet-committed files."""
+        snaps = self.snapshots()
+        if not snaps:
+            return 0
+        cur = self.current_snapshot()
+        keep = {s["snapshot"] for s in snaps[-keep_last:]} | {cur}
+        referenced: set[str] = set()
+        for s in snaps:
+            if s["snapshot"] in keep:
+                referenced |= set(s["files"])
             else:
-                staging.rename(live)
-                if old.exists():
-                    shutil.rmtree(old)
-        for old in sorted(root.glob("p_bucket=*.old")):
-            live = old.with_name(old.name[: -len(".old")])
-            if live.exists():
-                shutil.rmtree(old)
-            else:  # staged dir was lost before the swap completed: roll back
-                old.rename(live)
+                (self.manifests_dir / f"manifest-{s['snapshot']}.json").unlink()
+        removed = 0
+        for f in self._list_data_files() - referenced:
+            (Path(self.graph_dir) / f).unlink()
+            removed += 1
+        return removed

@@ -138,23 +138,26 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
                 "subject", "predicate", "object", "graph", "p_bucket").collect())
         )
 
-    def files_per_bucket():
-        from pathlib import Path
-        return {
-            d.name: len(list(d.glob("*.parquet")))
-            for d in Path(store.graph_dir).glob("p_bucket=*")
-        }
+    def live_files_per_bucket():
+        from collections import Counter
+        return Counter(f.split("/", 1)[0] for f in store._live_files())
 
-    before_rows, before_files = rows(), files_per_bucket()
+    before_rows, before_files = rows(), live_files_per_bucket()
     assert max(before_files.values()) >= 6
 
     report = store.compact(spark, min_files=4, target_rows_per_file=10_000)
     assert report, "no bucket compacted"
-    after_files = files_per_bucket()
+    after_files = live_files_per_bucket()
     for bdir, (fb, fa) in ((f"p_bucket={b}", v) for b, v in report.items()):
         assert after_files[bdir] == fa < fb
     assert rows() == before_rows
     assert store.lineage(spark).count() == 1
+    # pre-compaction files stay on disk for pinned snapshots until expiry;
+    # after expiry only the live file set remains
+    assert len(store._list_data_files()) > sum(after_files.values())
+    assert store.expire_snapshots(keep_last=1) > 0
+    assert len(store._list_data_files()) == sum(after_files.values())
+    assert rows() == before_rows
     # merge after compaction still dedups against the rewritten files
     dup = spark.createDataFrame(
         [("<http://e/s0_0>", "<http://p/x>", '"0"', None)],
@@ -163,78 +166,101 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
     assert store.merge(spark, dup) == 0
 
 
-def test_compaction_crash_recovery(spark, tmp_path):
-    """A compact() interrupted in ANY window must never lose a bucket's data:
-    the next WRITE-path access (merge() or compact()) rolls the swap forward
-    or back, while graph() stays a pure read (r4 ADVICE: a reader running
-    destructive recovery would race a live compactor in another process and
-    rmtree its in-progress staging dir — reads must not mutate the store).
-    Simulates all three crash states by hand-arranging the staging dirs a
-    real crash would leave behind."""
-    import shutil
+def test_snapshot_commit_crash_windows(spark, tmp_path):
+    """The manifest commit protocol makes every crash window a no-op: data
+    files without a manifest are invisible orphans, an un-flipped manifest
+    is inert (and can never collide with the next commit), and the CURRENT
+    flip itself is one atomic rename. Reads are pure and snapshot-pinned."""
+    import json
     from pathlib import Path
 
     from rio_spark.operators.materialize import GraphStore
 
     store = GraphStore(str(tmp_path / "store"), n_buckets=1)
-    for i in range(5):
+    for i in range(3):
         batch = spark.createDataFrame(
             [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(10)],
             "subject string, predicate string, object string, graph string",
         )
         store.merge(spark, batch)
 
-    def rows():
+    def rows(snapshot=None):
         return sorted(
-            map(tuple, store.graph(spark).select(
+            map(tuple, store.graph(spark, snapshot=snapshot).select(
                 "subject", "predicate", "object", "graph").collect())
         )
 
-    def heal():  # any single-writer entry heals; merge of an existing quad
-        dup = spark.createDataFrame(
-            [("<http://e/s0_0>", "<http://p/x>", '"0"', None)],
-            "subject string, predicate string, object string, graph string",
-        )
-        assert store.merge(spark, dup) == 0
-
     expected = rows()
-    root = Path(store.graph_dir)
-    live = root / "p_bucket=0"
+    assert len(expected) == 30
+    cur = store.current_snapshot()
 
-    # state 1: crash BEFORE the swap — staging (possibly partial) beside live.
-    # graph() is pure: ignores the staging dir, does NOT delete it.
-    staging = root / "p_bucket=0.compacting"
-    shutil.copytree(live, staging)
-    (staging / "junk.tmp").write_text("partial")
+    # crash window 1: data files appended but no manifest committed — the
+    # orphan is invisible to readers and swept by expiry
+    bucket = Path(store.graph_dir) / "p_bucket=0"
+    orphan_src = next(bucket.glob("*.parquet"))
+    orphan = bucket / "part-orphan-from-crashed-merge.parquet"
+    orphan.write_bytes(orphan_src.read_bytes())
     assert rows() == expected
-    assert staging.exists()  # read did not mutate
-    heal()  # writer entry drops the stale staging dir
-    assert not staging.exists()
-    assert rows() == expected
+    assert orphan.exists()  # pure read: nothing deleted
 
-    # state 2: crash BETWEEN the renames — live gone, complete staging + .old.
-    # A pure reader transiently misses the bucket (documented snapshot-stand-in
-    # semantics); the next writer promotes staging to live.
-    old = root / "p_bucket=0.old"
-    live.rename(old)
-    shutil.copytree(old, staging)
-    assert rows() == []  # reader sees no committed bucket, and loses nothing
-    heal()
-    assert live.exists() and not staging.exists() and not old.exists()
+    # crash window 2: manifest written but CURRENT not flipped — inert, and
+    # the next commit numbers past it (max-on-disk + 1, no collision)
+    stray_n = cur + 7
+    (store.manifests_dir / f"manifest-{stray_n}.json").write_text(json.dumps(
+        {"snapshot": stray_n, "parent": cur, "op": "merge",
+         "files": [], "n_files": 0, "committed_at": 0.0}
+    ))
     assert rows() == expected
+    assert store.merge(spark, spark.createDataFrame(
+        [("<http://e/new>", "<http://p/x>", '"n"', None)],
+        "subject string, predicate string, object string, graph string",
+    )) == 1
+    assert store.current_snapshot() == stray_n + 1
+    assert len(rows()) == 31
 
-    # state 3: crash AFTER the swap, before cleanup — live + leftover .old.
-    # Reader serves the live rewrite and leaves .old alone.
-    shutil.copytree(live, old)
-    assert rows() == expected
-    assert old.exists()
-    heal()
-    assert not old.exists()
-    assert rows() == expected
+    # expiry sweeps the orphan and the stray manifest's era but keeps the
+    # live snapshot intact
+    removed = store.expire_snapshots(keep_last=1)
+    assert removed >= 1 and not orphan.exists()
+    assert len(rows()) == 31
 
-    # and compact() itself runs clean over a recovered store, skipping any
-    # non-integer dir names
-    (root / "p_bucket=weird.compacting").mkdir()
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """Each merge/compact is one atomic snapshot: readers pinned to an old
+    snapshot keep reading it through later merges, compactions, AND the
+    compaction's file rewrite (old files stay until expiry); expired
+    snapshots raise."""
+    import pytest as _pytest
+
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=1)
+
+    def merge_batch(i, n=10):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(n)],
+            "subject string, predicate string, object string, graph string",
+        ))
+
+    merge_batch(0)
+    s0 = store.current_snapshot()
+    for i in range(1, 6):
+        merge_batch(i)
+    s5 = store.current_snapshot()
+    assert store.graph(spark, snapshot=s0).count() == 10
+    assert store.graph(spark, snapshot=s5).count() == 60
+
+    # compaction flips metadata only: the pre-compact snapshot still reads
+    # its ORIGINAL files, the live snapshot reads the rewrite, contents equal
     report = store.compact(spark, min_files=4, target_rows_per_file=10_000)
     assert 0 in report
-    assert rows() == expected
+    assert store.graph(spark, snapshot=s5).count() == 60
+    assert store.graph(spark).count() == 60
+    ops = {s["snapshot"]: s["op"] for s in store.snapshots()}
+    assert ops[store.current_snapshot()] == "compact"
+
+    # expiry drops the old manifests; time travel to them now raises
+    store.expire_snapshots(keep_last=1)
+    with _pytest.raises(ValueError, match="expired"):
+        store.graph(spark, snapshot=s0)
+    assert store.graph(spark).count() == 60
