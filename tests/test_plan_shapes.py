@@ -120,3 +120,29 @@ def test_topk_queries_use_take_ordered(spark):
     for q in (q_text_vocab, q_text_tfidf, q_text_ngrams):
         plan = plan_of(q(spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    from rio_spark.plans.catalog import q_dedup_decontaminate
+
+    plan = plan_of(q_dedup_decontaminate(spark, SF_DIR))
+    # the benchmark inverted index and its sizes must broadcast: the corpus
+    # side of a 100 TB decontamination pass never shuffles into a sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_mix_single_aggregate_plus_broadcast_total(spark):
+    from rio_spark.plans.catalog import q_corpus_mix
+
+    plan = plan_of(q_corpus_mix(spark, SF_DIR))
+    # the scorer joins are broadcast equi-joins; the share denominator is a
+    # 1-ROW broadcast (Catalyst folds the constant `__k` key into a
+    # BroadcastNestedLoopJoin of the single total row — bounded, fine);
+    # never a shuffle join, global window, or true cross product
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
