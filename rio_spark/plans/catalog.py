@@ -2978,6 +2978,51 @@ def q_streaming_kg_extract(spark, sf_dir) -> DataFrame:
 ORACLE_STREAMING_KG_EXTRACT = ORACLE_KG_EXTRACT_NT
 
 
+def q_streaming_materialize(spark, sf_dir) -> DataFrame:
+    """Streaming ingest-to-graph e2e (streaming/materialize.py
+    stream_merge_to_store): the document stream runs through the extraction
+    kernel and MERGEs into a GraphStore inside foreachBatch — one manifest
+    snapshot + one lineage row per micro-batch, the batch pipeline's sink
+    reused verbatim. The checked output is the final materialized quad set,
+    which must equal the batch extraction's distinct triple set (merge
+    dedups on the quad key)."""
+    import tempfile
+
+    from rio_spark.operators.materialize import GraphStore
+    from rio_spark.streaming.materialize import stream_merge_to_store
+
+    tmp = tempfile.mkdtemp(prefix="rio_stream_store_")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    lines = _nt_lines()
+    d = stream.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.concat_ws("\n", *lines).alias("text"),
+    )
+    ext = triples_of(extract_triples(d, fmt="nt", parallelism=0))
+    store = GraphStore(f"{tmp}/store", n_buckets=8)
+    q = stream_merge_to_store(
+        ext.select(
+            "subject", "predicate", "object",
+            F.lit(None).cast("string").alias("graph"),
+        ),
+        store, "snap-stream", f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    return store.graph(spark).select("subject", "predicate", "object")
+
+
+ORACLE_STREAMING_MATERIALIZE = (
+    "SELECT DISTINCT subject, predicate, object FROM ("
+    + ORACLE_KG_EXTRACT_NT
+    + ")"
+)
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: binary payloads + typed metadata through a real
     mapInPandas Arrow kernel (codec layer stubbed — no image libs in this
@@ -3293,6 +3338,7 @@ QUERIES = {
     "streaming_join_capped": q_streaming_join_capped,
     "sim_dup_groups": q_sim_dup_groups,
     "corpus_mix": q_corpus_mix,
+    "streaming_materialize": q_streaming_materialize,
     "dedup_minhash": q_dedup_minhash,
     "dedup_near_groups": q_dedup_near_groups,
     "text_pack_batches": q_text_pack_batches,
@@ -3340,11 +3386,11 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_bgp_star": q_kg_bgp_star,
     "kg_pipeline_e2e": q_kg_pipeline_e2e,
-    "kg_entity_linking": q_kg_entity_linking,
     # -- TAIL [50:]: driver-green in round 4 (CORRECTNESS_r04), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be
     # within one round of the latest recorded round) -----------------------
     "streaming_join": q_streaming_join,
+    "kg_entity_linking": q_kg_entity_linking,
     "kg_extract_nt": q_kg_extract_nt,
     "kg_error_recovery": q_kg_error_recovery,
     "kg_extract_turtle": q_kg_extract_turtle,
@@ -3395,6 +3441,7 @@ ORACLES = {
     "streaming_join_capped": ORACLE_STREAMING_JOIN_CAPPED,
     "sim_dup_groups": ORACLE_SIM_DUP_GROUPS,
     "corpus_mix": _oracle_corpus_mix(),
+    "streaming_materialize": ORACLE_STREAMING_MATERIALIZE,
     "kg_extract_nt": ORACLE_KG_EXTRACT_NT,
     "kg_extract_turtle": ORACLE_KG_EXTRACT_TURTLE,
     "kg_extract_rdfxml": ORACLE_KG_EXTRACT_RDFXML,
