@@ -332,3 +332,102 @@ def embedding_dup_groups(
     return cc.select(
         F.col("node").alias("vec_id"), F.col("component").alias("group_id")
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = 4, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector space into ``m``
+    contiguous subspaces; codebook ``s`` holds the ``k`` lowest-id vectors'
+    s-th subvectors (the same deterministic data-derived seeding as the IVF
+    centroids — a Lloyd refinement per subspace can replace them without
+    changing any plan shape). Returns ``codebooks[s][c] = list[float]``;
+    the only driver collect is the k seed vectors (bounded constant)."""
+    seeds = collect_planes(embeddings, k, id_col, vec_col)
+    d = len(seeds[0]) // m
+    assert len(seeds[0]) % m == 0, "vector dim must divide evenly into m subspaces"
+    return [[list(vec[s * d:(s + 1) * d]) for vec in seeds] for s in range(m)]
+
+
+def _pq_code_expr(vec_col: str, cb_s: list[list[float]], s: int, d: int,
+                  round_to: int = 6):
+    """Subspace-s code as a pure column expression: argmin over the k
+    centroids of round(-2 v_s.c + c.c, 6) — the v_s.v_s term cancels in the
+    argmin exactly as in the IVF cell expression; first index wins ties."""
+    v = F.slice(F.col(vec_col).cast("array<double>"), s * d + 1, d)
+    scored = F.array(*[
+        F.struct(
+            F.round(
+                -2.0 * _dot(v, F.array(*[F.lit(x) for x in c]))
+                + F.lit(sum(x * x for x in c)),
+                round_to,
+            ).alias("dd"),
+            F.lit(int(ci)).alias("code"),
+        )
+        for ci, c in enumerate(cb_s)
+    ])
+    return F.array_min(scored)["code"]
+
+
+def pq_encode(
+    embeddings: DataFrame, m: int = 4, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ encoding: -> (vec_id, code array<int> of length m) — each vector
+    compressed to m small integers (m bytes at k<=256), the representation
+    a 100 TB ANN index actually stores and scans. One pure projection, no
+    shuffle, no Python rows."""
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    dim = len(codebooks[0][0])
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*[
+            _pq_code_expr(vec_col, codebooks[s], s, dim) for s in range(m)
+        ]).alias("code"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame, query_vec: list[float], topk: int = 5,
+    m: int = 4, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is compared
+    to each vector through a per-subspace lookup table
+    ``t[s][c] = round(||q_s - codebook[s][c]||^2, 6)`` (m x k floats,
+    computed driver-side — bounded constants), so the scan touches only the
+    m-int codes, never the raw vectors: the memory-bandwidth shape that
+    makes billion-vector search feasible. Approximate distance =
+    sum_s t[s][code_s]; deterministic ranking (distance, then vec_id).
+    -> (vec_id, adc_dist) — the ``topk`` nearest by quantized distance."""
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    dim = len(codebooks[0][0])
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    tables = []
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * dim:(s + 1) * dim]]
+        tables.append([
+            round(dot(qs, qs) - 2.0 * dot(qs, c) + dot(c, c), 6)
+            for c in codebooks[s]
+        ])
+    codes = pq_encode(embeddings, m, k, id_col, vec_col, codebooks)
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(t) for t in tables[s]]),
+            F.element_at(F.col("code"), s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes.select("vec_id", F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(topk)
+    )

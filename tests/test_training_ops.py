@@ -323,3 +323,27 @@ def test_decontaminate_containment_and_guard(spark):
     assert flagged  # without the guard the preamble doc flags
     guarded = decontaminate(pre_only, bench2, n=3, threshold=0.2, max_bench_df=1).collect()
     assert not guarded
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """Seed vectors encode to their own codebook index in every subspace
+    (their subvector distance to themselves is 0); ADC distance of a seed
+    query against itself is 0, so it ranks first; ties break by vec_id."""
+    import numpy as np
+
+    from rio_spark.operators.similarity import pq_codebooks, pq_encode, pq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(16)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(emb, m=2, k=4)
+    assert len(cb) == 2 and len(cb[0]) == 4 and len(cb[0][0]) == 4
+
+    codes = {r.vec_id: list(r.code) for r in pq_encode(emb, m=2, k=4).collect()}
+    for seed_id in range(4):  # the 4 lowest-id vectors ARE the codebooks
+        assert codes[seed_id] == [seed_id, seed_id]
+
+    q0 = vecs[0][1]
+    top = pq_topk(emb, q0, topk=3, m=2, k=4).collect()
+    assert top[0].vec_id == 0 and top[0].adc_dist == 0.0
+    assert [r.adc_dist for r in top] == sorted(r.adc_dist for r in top)
