@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "sim_lsh_buckets",
     "sim_pairs_lsh",
     "sim_ivf_topk",
+    "sim_pq_codes",
+    "sim_pq_topk",
     "text_bpe_tokens",
     "dedup_lsh_pairs",
     "tpch_q1",

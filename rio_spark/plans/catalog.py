@@ -2368,9 +2368,13 @@ def q_streaming_join_capped(spark, sf_dir) -> DataFrame:
         left_id="click_id", right_id="purchase_id",
         within_s=3600, watermark="30 minutes", cap=2,
     )
-    return _drain_stream(pairs, "append").select(
+    out = _drain_stream(pairs, "append").select(
         "k", "left_id", "right_id", "truncated"
     )
+    # the drain above ran the replay to completion; the staged input files
+    # are dead weight now (the memory sink holds the rows)
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
 
 
 # batch recompute: rank purchases by (ts, CAST(id AS VARCHAR)) inside each
