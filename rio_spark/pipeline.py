@@ -36,6 +36,36 @@ class PipelineReport:
     per_group: list = field(default_factory=list)
 
 
+def transform_transcripts(
+    transcripts: DataFrame,
+    docs_meta: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
+    broadcast_dict: bool = True,
+) -> tuple[DataFrame, int]:
+    """The pipeline's transform chain on one self-contained transcript set
+    (a partition group in batch mode, a micro-batch in streaming mode):
+    salted assembly -> extraction + entity linking -> canonicalize ->
+    quad dedup. Returns (triples, error_row_count)."""
+    docs = assemble_documents_salted(transcripts)
+    if docs_meta is not None:
+        docs = docs.join(F.broadcast(docs_meta), "conv_id", "left")
+    else:
+        docs = docs.withColumn("format", F.lit(None).cast("string")).withColumn(
+            "base_iri", F.lit(None).cast("string")
+        )
+    rdf_docs = docs.filter(F.col("format").isNotNull())
+    free_docs = docs.filter(F.col("format").isNull())
+
+    extracted = extract_triples(rdf_docs)
+    parts = [triples_of(extracted)]
+    if dictionary is not None:
+        parts.append(
+            link_entities(free_docs, dictionary, broadcast_dict=broadcast_dict)
+        )
+    triples = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return dedup_triples(canonicalize(triples)), errors_of(extracted).count()
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -61,26 +91,9 @@ def run_pipeline(
         part = transcripts.filter(
             F.pmod(F.xxhash64("conv_id"), F.lit(n_groups)) == g
         )
-        docs = assemble_documents_salted(part)
-        if docs_meta is not None:
-            docs = docs.join(F.broadcast(docs_meta), "conv_id", "left")
-        else:
-            docs = docs.withColumn("format", F.lit(None).cast("string")).withColumn(
-                "base_iri", F.lit(None).cast("string")
-            )
-        rdf_docs = docs.filter(F.col("format").isNotNull())
-        free_docs = docs.filter(F.col("format").isNull())
-
-        extracted = extract_triples(rdf_docs)
-        parts = [triples_of(extracted)]
-        if dictionary is not None:
-            parts.append(
-                link_entities(free_docs, dictionary, broadcast_dict=broadcast_dict)
-            )
-        triples = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        triples = dedup_triples(canonicalize(triples))
-
-        n_err = errors_of(extracted).count()
+        triples, n_err = transform_transcripts(
+            part, docs_meta, dictionary, broadcast_dict
+        )
         n_new = store.merge(spark, triples)
         store.commit_lineage(spark, snapshot_id, ph, n_new)
         report.groups_committed += 1

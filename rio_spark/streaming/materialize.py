@@ -47,3 +47,48 @@ def stream_merge_to_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_pipeline(
+    transcript_stream: DataFrame,
+    store: GraphStore,
+    snapshot_id: str,
+    checkpoint_dir: str,
+    docs_meta: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
+):
+    """The FULL KG pipeline as a streaming job: each micro-batch of
+    transcript turns runs the batch pipeline's transform chain
+    (rio_spark.pipeline.transform_transcripts — salted assembly, kernel
+    extraction, entity linking, canonicalization, quad dedup) inside
+    ``foreachBatch`` and MERGEs into the snapshot store with a
+    ``batch-<id>`` lineage row.
+
+    Ingest contract: a micro-batch must hold COMPLETE conversations (file
+    = landing-zone unit, the standard CDC contract) — assembly groups by
+    conv_id within the batch, so a conversation split across batches would
+    assemble per fragment. Resume: the stream's checkpoint skips processed
+    files across restarts; a REPLAYED batch (checkpoint lost, worst case)
+    re-merges idempotently and shows up as a merged=0 lineage row — the
+    same effective-exactly-once argument as stream_merge_to_store.
+
+    Starts (and returns) the streaming query."""
+    from rio_spark.pipeline import transform_transcripts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        triples, n_err = transform_transcripts(batch_df, docs_meta, dictionary)
+        n_new = store.merge(spark, triples)
+        store.commit_lineage(spark, snapshot_id, f"batch-{batch_id}", n_new)
+        if n_err:
+            # error rows are part of the batch contract: surface the count
+            # in lineage alongside the merge (negative-count convention
+            # would be surprising; a separate hash keeps it queryable)
+            store.commit_lineage(spark, snapshot_id, f"batch-{batch_id}-errors", n_err)
+
+    return (
+        transcript_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
