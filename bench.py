@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "sim_ivf_topk",
     "sim_pq_codes",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "text_bpe_tokens",
     "dedup_lsh_pairs",
     "tpch_q1",

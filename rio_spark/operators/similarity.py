@@ -431,3 +431,36 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(topk)
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame, query_vec: list[float], topk: int = 5,
+    n_centroids: int = 8, nprobe: int = 2, m: int = 4, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the composition a billion-vector index actually
+    runs: the coarse quantizer prunes the scan to the query's ``nprobe``
+    nearest cells (a pure FILTER on the cell expression, no join), then
+    ADC over PQ codes ranks the survivors through m x k lookup tables.
+    Cost shape: scan of nprobe/n_centroids of the data x O(m) per row.
+
+    This is the non-residual variant (codes quantize raw vectors, not
+    v - centroid): one codebook set serves every cell, which keeps the
+    encode a single projection and the oracle exact; residual PQ would
+    add per-cell codebooks for better recall at the same cost shape.
+    Codebooks and probed cells derive from the FULL vector set (driver-side
+    bounded constants), so results are independent of which cells happen
+    to be probed first."""
+    cents = collect_planes(embeddings, n_centroids, id_col, vec_col)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    ranked = sorted(
+        (round(-2.0 * dot(query_vec, c) + dot(c, c), 6), i)
+        for i, c in enumerate(cents)
+    )
+    probed = [i for _, i in ranked[:nprobe]]
+    cand = embeddings.filter(_cell_expr(vec_col, cents).isin(probed))
+    codebooks = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    return pq_topk(cand, query_vec, topk, m, k, id_col, vec_col, codebooks)

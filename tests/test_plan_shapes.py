@@ -149,9 +149,13 @@ def test_corpus_mix_single_aggregate_plus_broadcast_total(spark):
 
 
 def test_pq_paths_are_pure_projections(spark):
-    from rio_spark.plans.catalog import q_sim_pq_codes, q_sim_pq_topk
+    from rio_spark.plans.catalog import (
+        q_sim_ivfpq_topk,
+        q_sim_pq_codes,
+        q_sim_pq_topk,
+    )
 
-    for q in (q_sim_pq_codes, q_sim_pq_topk):
+    for q in (q_sim_pq_codes, q_sim_pq_topk, q_sim_ivfpq_topk):
         plan = plan_of(q(spark, SF_DIR))
         # encoding and the ADC scan are single-pass column expressions over
         # the codes — no join stage, no shuffle beyond the final top-k sort
