@@ -85,7 +85,16 @@ def _pinned_stage(sf_dir: str, cpus: int) -> dict:
              "--cores", str(cpus), "--runs", "4", "--limit", "0"],
             capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        pinned[name] = json.loads(out.stdout.splitlines()[-1])
+        # a failed probe must not discard the whole bench run's results —
+        # record the failure (with a stderr tail to diagnose) and move on
+        try:
+            pinned[name] = json.loads(out.stdout.splitlines()[-1])
+        except (IndexError, ValueError):
+            pinned[name] = {
+                "query": name,
+                "error": f"probe exited {out.returncode}",
+                "stderr_tail": out.stderr[-500:],
+            }
     return pinned
 
 

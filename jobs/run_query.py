@@ -53,11 +53,11 @@ def main() -> int:
     from rio_spark.session import get_spark
 
     spark = get_spark(app_name=f"rio_query_{args.name}", cores=args.cores)
-    df = QUERIES[args.name](spark, args.sf_dir)
-    if args.explain:
-        df.explain("formatted")
-        return 0
     if args.runs > 1:
+        # probe mode: NOTHING runs before the timed loop — some queries do
+        # eager work in their construction (iterative checkpoints, stream
+        # drains), so even building the DataFrame outside the loop would
+        # warm the JVM and fake the cold number
         runs = []
         n = 0
         for _ in range(args.runs):
@@ -67,6 +67,10 @@ def main() -> int:
         print(json.dumps({"query": args.name, "rows": n, "cold": runs[0],
                           "steady": min(runs[1:]), "all_runs_sec": runs,
                           "sf_dir": args.sf_dir}))
+        return 0
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
         return 0
     t0 = time.perf_counter()
     n = df.count()

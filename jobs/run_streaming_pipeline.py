@@ -68,8 +68,13 @@ def main() -> None:
             meta[["conv_id", "format", "base_iri"]].where(meta.notna(), None)
         )
     if args.synthetic_convs:
-        input_dir = os.path.join(os.path.dirname(args.checkpoint.rstrip("/")),
-                                 os.path.basename(args.checkpoint.rstrip("/")) + "_landing")
+        # parameters in the dir name: changing --synthetic-convs/--files must
+        # not silently reuse a stale landing set
+        input_dir = os.path.join(
+            os.path.dirname(args.checkpoint.rstrip("/")),
+            os.path.basename(args.checkpoint.rstrip("/"))
+            + f"_landing_{args.synthetic_convs}x{args.files}",
+        )
         if not os.path.isdir(input_dir) or not os.listdir(input_dir):
             # complete conversations per landing file: split on conv hash
             all_t = synthetic_transcripts(spark, args.synthetic_convs)

@@ -113,11 +113,17 @@ class GraphStore:
 
     def _live_files(self, snapshot: int | None = None) -> list[str]:
         """graph_dir-relative data files of ``snapshot`` (default: CURRENT).
-        Legacy stores (data but no manifests) fall back to the disk listing —
-        a pure read; the first write commits a bootstrap manifest."""
+        Legacy stores (data on disk, NO ``_manifests`` dir at all) fall back
+        to the disk listing — a pure read; the first write commits a
+        bootstrap manifest.  Once ``_manifests`` exists, the disk listing is
+        never trusted: a missing/un-flipped CURRENT means no snapshot was
+        ever committed, so the store reads as empty (on-disk files are
+        orphans of a crashed write, possibly torn)."""
         n = self.current_snapshot() if snapshot is None else snapshot
         if n is None:
-            return sorted(self._list_data_files())  # legacy / empty store
+            if snapshot is None and not self.manifests_dir.exists():
+                return sorted(self._list_data_files())  # legacy store
+            return []
         return self._read_manifest(n)["files"]
 
     def _commit(self, files: set[str], op: str) -> int:
@@ -146,10 +152,60 @@ class GraphStore:
         return n
 
     def _bootstrap_if_legacy(self) -> None:
-        """Writer-path upgrade: a pre-manifest store (bucket dirs, no
-        CURRENT) gets its on-disk file set committed as snapshot 0."""
-        if self.current_snapshot() is None and self._list_data_files():
+        """Writer-path entry hook, two jobs:
+
+        * NEW store (no ``_manifests`` dir, no data): commit an EMPTY
+          snapshot 0 BEFORE the first data write.  This is what makes the
+          crashed-first-merge window safe: once the init manifest exists,
+          data files on disk that no manifest references are always
+          orphans of a crashed write (possibly torn parquet) and stay
+          invisible — they are never mistaken for a legacy store's content.
+        * LEGACY store (data files but no ``_manifests`` dir — written by
+          the pre-manifest format): finish any rename-swap the OLD
+          compact() may have left mid-crash (``p_bucket=N.compacting`` /
+          ``.old`` staging dirs — promote a complete rewrite whose live
+          dir is gone, drop stale staging/old next to a live dir), then
+          commit the on-disk file set as snapshot 0.
+        """
+        if self.manifests_dir.exists():
+            return
+        if self._list_data_files() or self._legacy_swap_dirs():
+            self._recover_legacy_swap_dirs()
             self._commit(self._list_data_files(), "bootstrap")
+        else:
+            self._commit(set(), "init")
+
+    def _legacy_swap_dirs(self) -> list[Path]:
+        root = Path(self.graph_dir)
+        if not root.exists():
+            return []
+        return [
+            d for d in root.iterdir()
+            if d.name.endswith((".compacting", ".old")) and d.is_dir()
+        ]
+
+    def _recover_legacy_swap_dirs(self) -> None:
+        """Migration-only recovery for the pre-manifest format's atomic-
+        rename compaction (the new format never creates these dirs):
+        staging next to a live dir is stale (drop); staging without a live
+        dir is a complete rewrite that crashed between renames (promote);
+        ``.old`` without a live dir is the originals mid-rollback (restore);
+        ``.old`` next to a live dir is post-swap leftovers (drop)."""
+        import shutil
+
+        root = Path(self.graph_dir)
+        for staging in sorted(root.glob("p_bucket=*.compacting")):
+            live = staging.with_name(staging.name[: -len(".compacting")])
+            if live.exists():
+                shutil.rmtree(staging)
+            else:
+                staging.rename(live)
+        for old in sorted(root.glob("p_bucket=*.old")):
+            live = old.with_name(old.name[: -len(".old")])
+            if live.exists():
+                shutil.rmtree(old)
+            else:
+                old.rename(live)
 
     # -- reads (pure: never mutate the store) ---------------------------------
 

@@ -451,7 +451,12 @@ def ivf_pq_topk(
     Codebooks and probed cells derive from the FULL vector set (driver-side
     bounded constants), so results are independent of which cells happen
     to be probed first."""
-    cents = collect_planes(embeddings, n_centroids, id_col, vec_col)
+    # ONE driver collect serves both constant sets (coarse centroids and PQ
+    # seed vectors are each "the lowest-id vectors", just sliced differently)
+    seeds = collect_planes(embeddings, max(n_centroids, k), id_col, vec_col)
+    cents = seeds[:n_centroids]
+    d = len(seeds[0]) // m
+    codebooks = [[list(vec[s * d:(s + 1) * d]) for vec in seeds[:k]] for s in range(m)]
 
     def dot(a, b):
         return sum(x * y for x, y in zip(a, b))
@@ -462,5 +467,4 @@ def ivf_pq_topk(
     )
     probed = [i for _, i in ranked[:nprobe]]
     cand = embeddings.filter(_cell_expr(vec_col, cents).isin(probed))
-    codebooks = pq_codebooks(embeddings, m, k, id_col, vec_col)
     return pq_topk(cand, query_vec, topk, m, k, id_col, vec_col, codebooks)

@@ -482,10 +482,13 @@ def corpus_mix_report(
     per-token state, so the report costs ~one scan at any corpus size.
     ``q_bucket`` = least(floor(quality * bins), bins-1) — identical float
     arithmetic on both engines given the scorers' rounded quality."""
+    # the scorers alias their id output to "doc_id" regardless of input —
+    # normalize here so any (id_col, text_col) works
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     j = (
-        language_id(docs, id_col, text_col).select(id_col, "lang_pred")
-        .join(quality_score(docs, id_col, text_col).select(id_col, "quality"), id_col)
-        .join(token_stats(docs, id_col, text_col).select(id_col, "n_tokens"), id_col)
+        language_id(docs).select("doc_id", "lang_pred")
+        .join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+        .join(token_stats(docs).select("doc_id", "n_tokens"), "doc_id")
     )
     bucket = F.least(F.floor(F.col("quality") * bins), F.lit(bins - 1)).cast("int")
     per = j.groupBy(F.col("lang_pred"), bucket.alias("q_bucket")).agg(

@@ -3520,8 +3520,11 @@ QUERIES = {
     "kg_cc_incremental": q_kg_cc_incremental,
     "kg_pagerank_conserve": q_kg_pagerank_conserve,
     "corpus_clean_e2e": q_corpus_clean_e2e,
-    # -- refreshed flagships (fill to index 49; kg_pagerank / kg_bgp_star
-    # are the r4 verdict's bench-weak pair — keep their driver rows fresh) -
+    # (the window is exactly full: 9 new + 38 rotated + 3 changed. The r4
+    # verdict's bench-weak pair kg_bgp_star/kg_pagerank therefore sits at
+    # the head of the TAIL — their round-4 CORRECTNESS rows are green and
+    # unchanged-in-code, and their round-5 concern was TIMING, which the
+    # bench's fresh-JVM queries_pinned stage now measures every run.)
     # -- TAIL [50:]: driver-green in round 4 (CORRECTNESS_r04), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be
     # within one round of the latest recorded round) -----------------------

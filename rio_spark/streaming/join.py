@@ -56,7 +56,7 @@ def interval_join_streams(
 
 CAPPED_OUTPUT_SCHEMA = "k string, left_id string, right_id string, truncated boolean"
 CAPPED_STATE_SCHEMA = (
-    "l_ts array<long>, l_id array<string>, "
+    "l_ts array<long>, l_id array<string>, l_seen long, "
     "r_ts array<long>, r_id array<string>, r_seen long"
 )
 
@@ -72,6 +72,7 @@ def capped_interval_join_streams(
     within_s: int = 3600,
     watermark: str = "30 minutes",
     cap: int = 4,
+    left_cap: int | None = None,
 ) -> DataFrame:
     """Interval join with a DETERMINISTIC hot-key bound — the ``bucket_cap``
     analogue (dedup.minhash_lsh_pairs) for the stream-stream join's
@@ -95,6 +96,17 @@ def capped_interval_join_streams(
     O(cap).  Each left row is routed to the (at most) two windows its
     ``[ts, ts+within]`` interval can reach, each right row to exactly one,
     so every match is emitted exactly once.
+
+    State shape, honestly: the capped right side is O(cap) per group, but
+    the LEFT side buffers every left row of the window as one array value
+    rewritten each micro-batch — a hot LEFT key is the remaining unbounded
+    dimension (Spark's own join state stores rows individually, so its
+    constant factors are better even at the same asymptotics).  Pass
+    ``left_cap`` to bound it symmetrically: only the ``left_cap`` smallest
+    (ts, id) left rows of each (key, window) keep their matches, and the
+    window's surviving matches are marked ``truncated`` — same determinism
+    argument as the right cap.  The default (None) keeps exact left
+    semantics for workloads where only the right side is hot.
 
     Replay note: groups emit when the watermark CLOSES their window, so a
     bounded replay (availableNow) must end with flush ticks that push the
@@ -135,8 +147,10 @@ def capped_interval_join_streams(
     def fn(group_key, pdfs, state: GroupState):
         k, w = group_key
         if state.hasTimedOut:
-            l_ts, l_id, r_ts, r_id, r_seen = state.get
-            trunc = bool(r_seen > cap)
+            l_ts, l_id, l_seen, r_ts, r_id, r_seen = state.get
+            trunc = bool(r_seen > cap) or (
+                left_cap is not None and int(l_seen) > left_cap
+            )
             rows = [
                 (k, li, ri, trunc)
                 for lt, li in zip(l_ts, l_id)
@@ -148,23 +162,28 @@ def capped_interval_join_streams(
                 yield pd.DataFrame(rows, columns=cols)
             return
         if state.exists:
-            l_ts, l_id, r_ts, r_id, r_seen = state.get
-            l_ts, l_id = list(l_ts), list(l_id)
+            l_ts, l_id, l_seen, r_ts, r_id, r_seen = state.get
+            lefts = list(zip(l_ts, l_id))
             rights = list(zip(r_ts, r_id))
-            r_seen = int(r_seen)
+            l_seen, r_seen = int(l_seen), int(r_seen)
         else:
-            l_ts, l_id, rights, r_seen = [], [], [], 0
+            lefts, rights, l_seen, r_seen = [], [], 0, 0
         for pdf in pdfs:
             is_left = pdf["side"] == "L"
             lp, rp = pdf[is_left], pdf[~is_left]
-            l_ts.extend(int(v) for v in lp["ts_us"])
-            l_id.extend(str(v) for v in lp["id"])
+            fresh_l = [(int(t), str(i)) for t, i in zip(lp["ts_us"], lp["id"])]
+            l_seen += len(fresh_l)
+            lefts = lefts + fresh_l
+            if left_cap is not None:
+                # running top-left_cap by (event time, id): order-insensitive
+                lefts = sorted(lefts)[:left_cap]
             fresh = [(int(t), str(i)) for t, i in zip(rp["ts_us"], rp["id"])]
             r_seen += len(fresh)
             # running top-cap by (event time, id): order-insensitive
             rights = sorted(rights + fresh)[:cap]
         state.update((
-            l_ts, l_id, [t for t, _ in rights], [i for _, i in rights], r_seen
+            [t for t, _ in lefts], [i for _, i in lefts], l_seen,
+            [t for t, _ in rights], [i for _, i in rights], r_seen
         ))
         state.setTimeoutTimestamp(max(
             (int(w) + 1) * within_s * 1000,

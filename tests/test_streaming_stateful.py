@@ -208,3 +208,66 @@ def test_stream_merge_to_store_idempotent_across_restart(spark, tmp_path):
     lin2 = store.lineage(spark).toPandas()
     assert len(lin2) == 4
     assert int(lin2.triple_count.sum()) == 2
+
+
+def test_capped_interval_join_left_cap_bounds_hot_clicks(spark, tmp_path):
+    """left_cap bounds the buffered-left dimension symmetrically: with
+    left_cap=1 only the smallest-(ts, id) click of the hot (key, window)
+    keeps its matches, and the window's surviving matches are marked
+    truncated even though the purchase side is under its own cap."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from rio_spark.streaming.join import capped_interval_join_streams
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 0, "click"),
+        (2, datetime(2024, 1, 1, 10, 5), 0, "click"),   # dropped by left_cap=1
+        (10, datetime(2024, 1, 1, 10, 10), 0, "purchase"),
+    ]
+    sentinels = [
+        [(90, datetime(2099, 1, 1), 50, "click"), (91, datetime(2099, 1, 1), 51, "purchase")],
+        [(92, datetime(2099, 2, 1), 50, "click"), (93, datetime(2099, 2, 1), 51, "purchase")],
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = tmp_path / "src"
+    src.mkdir()
+    import os
+    for i, batch in enumerate([rows] + sentinels):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("cid")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("pid")
+    )
+    out = capped_interval_join_streams(
+        clicks, purchases, key="user_id",
+        left_ts="c_ts", right_ts="p_ts", left_id="cid", right_id="pid",
+        within_s=3600, watermark="10 minutes", cap=5, left_cap=1,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("capped_join_left")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM capped_join_left").toPandas()
+    finally:
+        q.stop()
+
+    pairs = {(r.k, r.left_id, r.right_id): r.truncated for r in got.itertuples()}
+    assert pairs == {("0", "1", "10"): True}  # click 2's match dropped, marked
