@@ -264,3 +264,51 @@ def test_snapshot_isolation_and_time_travel(spark, tmp_path):
     with _pytest.raises(ValueError, match="expired"):
         store.graph(spark, snapshot=s0)
     assert store.graph(spark).count() == 60
+
+
+def test_legacy_store_migration_recovers_old_swap_dirs(spark, tmp_path):
+    """A store written by the pre-manifest format (data files, no
+    _manifests dir), crashed mid-compaction by the OLD code (complete
+    rewrite in p_bucket=0.compacting, live dir renamed away): the first
+    WRITE on the new format must promote the staging dir, bootstrap the
+    file set as a snapshot, and lose nothing; reads before that writer are
+    pure and simply see the committed buckets."""
+    import shutil
+    from pathlib import Path
+
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    for i in range(3):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(10)],
+            "subject string, predicate string, object string, graph string",
+        ))
+    expected = sorted(map(tuple, store.graph(spark).select(
+        "subject", "predicate", "object").collect()))
+
+    # devolve to the legacy layout: drop the manifests, stage a crashed swap
+    shutil.rmtree(store.manifests_dir)
+    root = Path(store.graph_dir)
+    live0 = root / "p_bucket=0"
+    live0.rename(root / "p_bucket=0.compacting")  # rewrite done, live gone
+    (root / "p_bucket=1.old").mkdir()             # post-swap leftover
+
+    # pure read on the legacy store: sees only intact bucket dirs
+    partial = store.graph(spark).count()
+    assert partial < len(expected)
+    assert (root / "p_bucket=0.compacting").exists()
+
+    # first write migrates: recovery + bootstrap + the merge itself
+    assert store.merge(spark, spark.createDataFrame(
+        [("<http://e/new>", "<http://p/x>", '"n"', None)],
+        "subject string, predicate string, object string, graph string",
+    )) == 1
+    assert live0.exists()
+    assert not (root / "p_bucket=0.compacting").exists()
+    assert not (root / "p_bucket=1.old").exists()
+    got = sorted(map(tuple, store.graph(spark).select(
+        "subject", "predicate", "object").collect()))
+    assert got == sorted(expected + [("<http://e/new>", "<http://p/x>", '"n"')])
+    ops = [s["op"] for s in store.snapshots()]
+    assert ops[0] == "bootstrap" and ops[-1] == "merge"
