@@ -101,6 +101,26 @@ _FAST_OBJCONT_RE = re.compile(
     rf"[ \t]*,"
 )
 _F_BNODE_FIRST_RE = re.compile(f"[{PN_CHARS_U_CLASS}0-9]")
+# fused semicolon-run for predicate-object lists: one match consumes
+# ``ws ; ws verb object`` up to (but not including) a SAME-LINE ';' or '.'
+# terminator. The strict terminator lookahead is what makes it safe: an
+# RDF-star annotation ``{| ... |}``, a comma-continued object list, a
+# datatype, or a next-line separator all fail the match and fall back to
+# the generic loop for that continuation — false negatives only. The
+# ``s p1 o1 ; p2 o2 ; p3 o3 .`` shape this admits is the bulk of real
+# pred-obj sugar (this corpus carries ~one ';' per statement).
+_FAST_PREDCONT_RE = re.compile(
+    rf"[ \t\r\n]*;[ \t\r\n]*(?P<p>a(?=[ \t])|{_F_IRI}|{_F_PNAME})[ \t]+"
+    rf"(?P<o>{_F_IRI}|{_F_BNODE}|{_F_STRING}|true|false|{_F_NUM}|{_F_PNAME})"
+    rf"[ \t]*(?=[;.])"
+)
+# fast verb for the slow-path descent: predicates are IRIs/prefixed names
+# that repeat massively (the _pn_cache hit rate is near 1 after the first
+# few statements), but parse_verb's full descent re-parsed the token every
+# time. Whitespace/comment lookahead only — Turtle allows `:p"lit"` with no
+# separator, which simply falls back to the full grammar: false negatives
+# only, same contract as the other _FAST_* paths.
+_FAST_VERB_RE = re.compile(rf"(?P<p>{_F_IRI}|{_F_PNAME})(?=[ \t\r\n#])")
 
 
 class _Parser:
@@ -448,6 +468,14 @@ class _Parser:
             # any node — including a bnode property list ("composite
             # predicate", gtrig.rs parse_generalized_verb -> node)
             return self.parse_generalized_node()
+        m = _FAST_VERB_RE.match(self.s, self.i)
+        if m is not None:
+            t = self._fast_term(m.group("p"), "p")
+            # predicates must be IRIs; _fast_term returns IRI strings for
+            # exactly the <...> / pname shapes this regex admits
+            if t is not None:
+                self.i = m.end()
+                return t
         return self.parse_iri()
 
     def parse_subject(self) -> Term:
@@ -640,6 +668,22 @@ class _Parser:
                         self.i = m.end()
                     continue
                 break
+            # fused semicolon-run: each iteration consumes one `; verb
+            # object` continuation terminated by a same-line ';' or '.';
+            # anything it can't prove falls through to the generic loop
+            while True:
+                m = _FAST_PREDCONT_RE.match(self.s, self.i)
+                if m is None:
+                    break
+                pt = m.group("p")
+                p2 = RDF_TYPE if pt == "a" else self._fast_term(pt, "p")
+                if p2 is None or not (isinstance(p2, str) and p2.startswith("<")):
+                    break
+                o2 = self._fast_term(m.group("o"), "o")
+                if o2 is None:
+                    break
+                self.emit(subject, p2, o2)
+                self.i = m.end()
             # predicate continuation
             saw_semi = False
             while self.peek() == ";":
@@ -735,15 +779,22 @@ class _Parser:
                 return None
             return BNode("u", label)
         if c0 == '"':
+            # token -> term is deterministic (langtag normalization and the
+            # datatype IRIs carry no parser state), so literals cache in the
+            # same per-parser map as the pnames; object values repeat plenty
+            # ("0", "1", enum-ish strings) in real corpora
             qi = tok.rfind('"')
             value = tok[1:qi]
             rest = tok[qi + 1 :]
             if rest:
                 try:
-                    return encode_literal(value, normalize_langtag(rest[1:]))
+                    out = encode_literal(value, normalize_langtag(rest[1:]))
                 except ParseError:
                     return None
-            return encode_literal(value)
+            else:
+                out = encode_literal(value)
+            self._pn_cache[tok] = out
+            return out
         if pos == "p" and tok == "a":
             return RDF_TYPE
         if pos == "o":
@@ -756,7 +807,9 @@ class _Parser:
                 for rx, dt in ((_INTEGER_RE, XSD_INTEGER), (_DECIMAL_RE, XSD_DECIMAL),
                                (_DOUBLE_RE, XSD_DOUBLE)):
                     if rx.fullmatch(tok):
-                        return encode_literal(tok, None, dt)
+                        out = encode_literal(tok, None, dt)
+                        self._pn_cache[tok] = out
+                        return out
                 return None
         if ":" not in tok:
             return None
