@@ -171,9 +171,17 @@ def _parse_doc(text: str, quads: bool, star: bool):
     # terms per document.
     iri_memo: dict[str, str] = {}
 
-    def wrap(iri: str) -> str:
+    def wrap(iri: str):
+        """Memoized scheme-validate + bracket: subjects repeat across
+        adjacent lines and predicates across the whole document, so the
+        _SCHEME_PROBE runs once per DISTINCT IRI, not once per occurrence
+        (it was 3-4 probe matches per fast line). None = probe failed ->
+        caller falls through to the slow path's positioned error; only
+        valid IRIs are ever cached."""
         w = iri_memo.get(iri)
         if w is None:
+            if _SCHEME_PROBE.match(iri) is None:
+                return None
             w = iri_memo[iri] = "<" + iri + ">"
         return w
 
@@ -188,12 +196,13 @@ def _parse_doc(text: str, quads: bool, star: bool):
             else:
                 sub, pred, obj_iri, lit, lang, dt = m.groups()
                 graph_iri = None
+            ws = wrap(sub)
+            wp = wrap(pred) if ws is not None else None
+            wo = (wrap(obj_iri) if obj_iri is not None else True) if wp is not None else None
             if (
-                _SCHEME_PROBE.match(sub)
-                and _SCHEME_PROBE.match(pred)
-                and (obj_iri is None or _SCHEME_PROBE.match(obj_iri))
-                and (dt is None or _SCHEME_PROBE.match(dt))
-                and (graph_iri is None or _SCHEME_PROBE.match(graph_iri))
+                wo is not None
+                and (dt is None or wrap(dt) is not None)
+                and (graph_iri is None or wrap(graph_iri) is not None)
             ):
                 # BCP-47-validate the language tag here too so acceptance does
                 # not depend on which path a line happens to take (the slow
@@ -205,15 +214,12 @@ def _parse_doc(text: str, quads: bool, star: bool):
                 except ParseError:
                     norm_lang = False
                 if norm_lang is not False:
-                    if obj_iri is not None:
-                        o: Term = wrap(obj_iri)
-                    else:
-                        o = encode_literal(lit, norm_lang, dt)
+                    o: Term = wo if obj_iri is not None else encode_literal(lit, norm_lang, dt)
                     if quads:
                         g = wrap(graph_iri) if graph_iri is not None else None
-                        triples.append((wrap(sub), wrap(pred), o, g))
+                        triples.append((ws, wp, o, g))
                     else:
-                        triples.append((wrap(sub), wrap(pred), o))
+                        triples.append((ws, wp, o))
                     continue
         try:
             t = _parse_line(s, lineno, quads, star)
