@@ -67,9 +67,12 @@ from rio_spark.kernels.shared import PN_CHARS_BASE_CLASS
 
 _F_IRI = r"<[^<>\"{}|^`\\\x00-\x20]*>"
 _F_PNAME = (
-    f"(?:[{PN_CHARS_BASE_CLASS}][{PN_CHARS_CLASS}.]*)?:[{PN_CHARS_CLASS}:.]*"
-)  # dot/first-char rules validated on expand; violations fall back
-_F_BNODE = f"_:[{PN_CHARS_CLASS}.]*"
+    f"(?:[{PN_CHARS_BASE_CLASS}][{PN_CHARS_CLASS}.]*(?<!\\.))?:[{PN_CHARS_CLASS}:.]*(?<!\\.)"
+)  # first-char rules validated on expand; violations fall back. The
+# trailing-dot exclusion lives IN the pattern (one-char backtrack) so
+# `:s :p :o.` leaves the terminator unconsumed and fast-paths instead of
+# maximal-munching "o." and falling back to the full grammar
+_F_BNODE = f"_:(?:[{PN_CHARS_CLASS}.]*(?<!\\.))?"
 _F_STRING = r'"[^"\\\n\r]*"(?:@[A-Za-z][A-Za-z0-9-]*)?'
 _F_NUM = r"[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+|\d*\.\d+|\d+)"
 _FAST_STMT_RE = re.compile(
@@ -83,8 +86,8 @@ _FAST_STMT_RE = re.compile(
 # 10k-object list otherwise pays the full grammar per object). The lookahead
 # pins the token boundary to a legal follower; anything else (annotations
 # `{|`, escapes, datatypes, sugar) falls back to the full grammar — false
-# negatives only, same contract as _FAST_STMT_RE. Maximal-munch dots inside
-# PNAME/bnode tokens are rejected by _fast_term (trailing-dot backoff).
+# negatives only, same contract as _FAST_STMT_RE. Trailing dots can't be
+# munched into PNAME/bnode tokens (pattern-level exclusion above).
 _FAST_OBJ_RE = re.compile(
     rf"(?P<o>{_F_IRI}|{_F_BNODE}|{_F_STRING}|true|false|{_F_NUM}|{_F_PNAME})"
     rf"(?=[ \t\r\n,;.\])}}#]|$)"
@@ -775,7 +778,8 @@ class _Parser:
             return out
         if c0 == "_":
             label = tok[2:]
-            if not label or label.endswith(".") or not _F_BNODE_FIRST_RE.match(label):
+            # no trailing-dot check: the _F_BNODE pattern cannot end with one
+            if not label or not _F_BNODE_FIRST_RE.match(label):
                 return None
             return BNode("u", label)
         if c0 == '"':
@@ -814,8 +818,7 @@ class _Parser:
         if ":" not in tok:
             return None
         prefix, local = tok.split(":", 1)
-        if prefix.endswith(".") or local.endswith("."):
-            return None  # maximal munch ate a statement/extra dot
+        # no trailing-dot checks: the _F_PNAME pattern cannot end with one
         if local and not _PN_LOCAL_FIRST_RE.match(local):
             return None
         ns = self.prefixes.get(prefix)
