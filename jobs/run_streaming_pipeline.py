@@ -75,7 +75,14 @@ def main() -> None:
             os.path.basename(args.checkpoint.rstrip("/"))
             + f"_landing_{args.synthetic_convs}x{args.files}",
         )
-        if not os.path.isdir(input_dir) or not os.listdir(input_dir):
+        # reuse only a COMPLETE landing set: a staging run that crashed after
+        # writing some f{i} subdirs must be regenerated, not replayed partial
+        # (each f{i} is finished by a _SUCCESS marker once its write commits)
+        complete = all(
+            os.path.exists(os.path.join(input_dir, f"f{i}", "_SUCCESS"))
+            for i in range(args.files)
+        )
+        if not complete:
             # complete conversations per landing file: split on conv hash
             all_t = synthetic_transcripts(spark, args.synthetic_convs)
             for i in range(args.files):

@@ -474,9 +474,10 @@ class _Parser:
         m = _FAST_VERB_RE.match(self.s, self.i)
         if m is not None:
             t = self._fast_term(m.group("p"), "p")
-            # predicates must be IRIs; _fast_term returns IRI strings for
-            # exactly the <...> / pname shapes this regex admits
-            if t is not None:
+            # predicates must be IRIs — enforce it mechanically (same guard
+            # as try_fast_statement / the pred-cont loop) rather than rely on
+            # _FAST_VERB_RE never admitting a non-IRI-shaped token
+            if t is not None and isinstance(t, str) and t.startswith("<"):
                 self.i = m.end()
                 return t
         return self.parse_iri()

@@ -122,6 +122,17 @@ class GraphStore:
         n = self.current_snapshot() if snapshot is None else snapshot
         if n is None:
             if snapshot is None and not self.manifests_dir.exists():
+                # legacy store: refuse to serve a PARTIAL bucket set — a
+                # pre-manifest compaction that crashed mid-swap leaves
+                # .compacting/.old staging dirs whose content the plain disk
+                # listing would silently drop (r5 ADVICE).  Recovery is a
+                # write-path concern; reads stay pure and fail loudly.
+                if self._legacy_swap_dirs():
+                    raise RuntimeError(
+                        f"legacy store at {self.graph_dir} has interrupted-"
+                        "compaction staging dirs (*.compacting/*.old); run "
+                        "migrate_legacy() (or any write) to recover before reading"
+                    )
                 return sorted(self._list_data_files())  # legacy store
             return []
         return self._read_manifest(n)["files"]
@@ -145,11 +156,31 @@ class GraphStore:
             "n_files": len(files),
             "committed_at": time.time(),
         }
-        (self.manifests_dir / f"manifest-{n}.json").write_text(json.dumps(manifest))
-        tmp = self.manifests_dir / "CURRENT.tmp"
-        tmp.write_text(str(n))
-        os.replace(tmp, self.manifests_dir / "CURRENT")  # the atomic commit
+        # durable-before-visible (r5 ADVICE): the manifest must be ON DISK —
+        # tmp + rename + fsync of file AND directory — before CURRENT can
+        # name it, else a power loss could persist the CURRENT flip around a
+        # torn manifest and leave the store unreadable.  Process crashes were
+        # already safe; this closes the power-loss window too.
+        self._durable_write(self.manifests_dir / f"manifest-{n}.json", json.dumps(manifest))
+        self._durable_write(self.manifests_dir / "CURRENT", str(n))  # the atomic commit
         return n
+
+    @staticmethod
+    def _durable_write(path: Path, data: str) -> None:
+        """Crash-durable publish: write a temp file, fsync it, atomically
+        rename over ``path``, fsync the parent directory (the rename itself
+        is only durable once the directory entry is)."""
+        tmp = path.with_name(path.name + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        dfd = os.open(path.parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _bootstrap_if_legacy(self) -> None:
         """Writer-path entry hook, two jobs:
@@ -174,6 +205,12 @@ class GraphStore:
             self._commit(self._list_data_files(), "bootstrap")
         else:
             self._commit(set(), "init")
+
+    def migrate_legacy(self) -> None:
+        """Explicit migration entry point for read-only consumers of a
+        pre-manifest store (the read path refuses stores with interrupted-
+        compaction staging dirs rather than serve a partial bucket set)."""
+        self._bootstrap_if_legacy()
 
     def _legacy_swap_dirs(self) -> list[Path]:
         root = Path(self.graph_dir)
