@@ -53,12 +53,25 @@ def topk_cosine(
 def cosine_pairs_above(
     embeddings: DataFrame, threshold: float, id_col: str = "vec_id",
     vec_col: str = "embedding", round_to: int = 4,
+    max_input_rows: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: exact all-pairs cosine >= threshold.
 
-    Quadratic — correctness baseline for small N; use LSH buckets at scale.
-    Cosines are rounded so accumulation order can't flip comparisons across
-    engines."""
+    Quadratic — correctness baseline for small N; use LSH buckets
+    (:func:`cosine_pairs_lsh`) at scale.  The small-N contract is
+    MECHANICAL: unless ``max_input_rows=None`` is passed explicitly, the
+    input is counted (one cheap job) and anything larger raises before the
+    quadratic join can be scheduled.  Cosines are rounded so accumulation
+    order can't flip comparisons across engines."""
+    if max_input_rows is not None:
+        n = embeddings.count()
+        if n > max_input_rows:
+            raise ValueError(
+                f"cosine_pairs_above is an all-pairs O(N^2) baseline; input has "
+                f"{n} rows > max_input_rows={max_input_rows}. Use "
+                f"cosine_pairs_lsh at scale, or pass max_input_rows=None "
+                f"to override explicitly."
+            )
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -337,17 +350,32 @@ def embedding_dup_groups(
 def pq_codebooks(
     embeddings: DataFrame, m: int = 4, k: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the vector space into ``m``
-    contiguous subspaces; codebook ``s`` holds the ``k`` lowest-id vectors'
-    s-th subvectors (the same deterministic data-derived seeding as the IVF
-    centroids — a Lloyd refinement per subspace can replace them without
-    changing any plan shape). Returns ``codebooks[s][c] = list[float]``;
-    the only driver collect is the k seed vectors (bounded constant)."""
+    contiguous subspaces; codebook ``s`` seeds from the ``k`` lowest-id
+    vectors' s-th subvectors (the same deterministic data-derived seeding
+    as the IVF centroids).  ``refine_iters > 0`` Lloyd-trains each
+    subspace's codebook with the SAME distributed kernel IVF refinement
+    uses (:func:`kmeans_refine` over the subvector projection — per-(code,
+    dim) AVG via posexplode + groupBy, map-side combinable, one shuffle
+    per iteration per subspace; only k x d values reach the driver), so
+    the codes downstream actually tile the data instead of echoing the
+    seed vectors — this is what lifts ADC recall (see sim_ann_recall).
+    Codebook entries that lose all members are dropped, exactly as in IVF
+    refinement; codes are positions in the surviving list.  Returns
+    ``codebooks[s][c] = list[float]``; plan shapes downstream are
+    unchanged by training."""
     seeds = collect_planes(embeddings, k, id_col, vec_col)
     d = len(seeds[0]) // m
     assert len(seeds[0]) % m == 0, "vector dim must divide evenly into m subspaces"
-    return [[list(vec[s * d:(s + 1) * d]) for vec in seeds] for s in range(m)]
+    cbs = [[list(vec[s * d:(s + 1) * d]) for vec in seeds] for s in range(m)]
+    if refine_iters:
+        v = F.col(vec_col).cast("array<double>")
+        for s in range(m):
+            sub = embeddings.select(F.slice(v, s * d + 1, d).alias("_sub"))
+            _, cbs[s] = kmeans_refine(sub, cbs[s], iters=refine_iters, vec_col="_sub")
+    return cbs
 
 
 def _pq_code_expr(vec_col: str, cb_s: list[list[float]], s: int, d: int,
@@ -468,3 +496,139 @@ def ivf_pq_topk(
     probed = [i for _, i in ranked[:nprobe]]
     cand = embeddings.filter(_cell_expr(vec_col, cents).isin(probed))
     return pq_topk(cand, query_vec, topk, m, k, id_col, vec_col, codebooks)
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame, query_vec: list[float], topk: int = 5,
+    n_centroids: int = 8, nprobe: int = 2, m: int = 4, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Residual IVF-PQ — the faiss-style refinement of :func:`ivf_pq_topk`:
+    PQ codes quantize the RESIDUAL ``v - centroid[cell(v)]`` instead of the
+    raw vector.  Residuals cluster tightly around the origin regardless of
+    which coarse cell a vector landed in, so one shared codebook set covers
+    them far better than it covers raw vectors — that is where the recall
+    gain over the non-residual variant comes from (measured in
+    sim_ann_recall), at the SAME cost shape:
+
+    * encode is still a pure projection — the residual is a ``zip_with``
+      subtraction against the row's own centroid (selected from a literal
+      centroid array by the cell expression), no join, no shuffle;
+    * the codebooks seed from the k lowest-id vectors' residuals (driver-
+      side on bounded collected constants — deterministic, no RNG);
+    * ADC needs one m x k lookup table PER PROBED CELL (the query residual
+      differs per cell): nprobe x m x k driver-side floats, still bounded
+      constants; per-row distance selects its cell's table with a CASE
+      chain over the nprobe survivors of the cell filter.
+
+    Determinism matches the whole ANN family: distances rounded to 6
+    decimals before argmin/ranking, ties to the lowest index / vec_id."""
+    seeds = collect_planes(embeddings, n_centroids + k, id_col, vec_col)
+    cents = seeds[:n_centroids]
+    d = len(seeds[0]) // m
+    assert len(seeds[0]) % m == 0, "vector dim must divide evenly into m subspaces"
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cell_of(v):  # same reduced-L2 argmin as _cell_expr, driver-side
+        return min(
+            range(len(cents)),
+            key=lambda i: (round(-2.0 * dot(v, cents[i]) + dot(cents[i], cents[i]), 6), i),
+        )
+
+    # seed residual codebooks from the k lowest-id vectors AFTER the
+    # centroid seeds: a centroid vector's own residual is the zero vector
+    # (its nearest centroid is itself), so seeding from seeds[:k] when
+    # k <= n_centroids would collapse every codebook entry to zero and ADC
+    # would stop discriminating — caught by the sim_ann_recall gate
+    seed_res = [
+        [x - c for x, c in zip(vec, cents[cell_of(vec)])]
+        for vec in seeds[n_centroids:n_centroids + k]
+    ]
+    codebooks = [[rv[s * d:(s + 1) * d] for rv in seed_res] for s in range(m)]
+
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    if refine_iters:
+        # Lloyd-train the residual codebooks over ALL rows' residuals
+        # (query-independent, exactly like pq_codebooks(refine_iters=...)):
+        # the residual is a pure column projection, so the training input
+        # is a select — no join, no extra shuffle beyond the per-iteration
+        # AVG that kmeans_refine itself does. This is what makes residual
+        # ADC actually beat the non-residual variant (sim_ann_recall).
+        base = embeddings.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            _cell_expr(vec_col, cents).alias("cell"),
+        )
+        res_all = base.select(
+            F.zip_with(F.col("v"), F.element_at(cents_lit, F.col("cell") + 1),
+                       lambda a, b: a - b).alias("rv"),
+        )
+        for s in range(m):
+            sub = res_all.select(F.slice(F.col("rv"), s * d + 1, d).alias("_sub"))
+            _, codebooks[s] = kmeans_refine(
+                sub, codebooks[s], iters=refine_iters, vec_col="_sub")
+
+    # probe the query's nprobe nearest coarse cells (reduced L2, as IVF-PQ)
+    ranked = sorted(
+        (round(-2.0 * dot(query_vec, c) + dot(c, c), 6), i)
+        for i, c in enumerate(cents)
+    )
+    probed = [i for _, i in ranked[:nprobe]]
+
+    # per-probed-cell ADC tables over the QUERY residual for that cell
+    tables: dict[int, list[list[float]]] = {}
+    for pc in probed:
+        qr = [x - c for x, c in zip(query_vec, cents[pc])]
+        tables[pc] = [
+            [
+                round(
+                    dot(qr[s * d:(s + 1) * d], qr[s * d:(s + 1) * d])
+                    - 2.0 * dot(qr[s * d:(s + 1) * d], c)
+                    + dot(c, c),
+                    6,
+                )
+                for c in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+
+    v = F.col(vec_col).cast("array<double>")
+    with_cell = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"),
+        _cell_expr(vec_col, cents).alias("cell"),
+    ).filter(F.col("cell").isin(probed))
+    # residual in its own select so the codes' slice expressions resolve
+    # against a plain column (same two-select pattern as kmeans_refine)
+    with_res = with_cell.select(
+        "vec_id", "cell",
+        F.zip_with(F.col("v"), F.element_at(cents_lit, F.col("cell") + 1),
+                   lambda a, b: a - b).alias("rv"),
+    )
+    coded = with_res.select(
+        "vec_id", "cell",
+        F.array(*[
+            _pq_code_expr("rv", codebooks[s], s, d) for s in range(m)
+        ]).alias("code"),
+    )
+
+    def cell_dist(pc: int):
+        t = None
+        for s in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in tables[pc][s]]),
+                F.element_at(F.col("code"), s + 1) + 1,
+            )
+            t = term if t is None else t + term
+        return t
+
+    dist = None
+    for pc in probed:
+        dist = (F.when(F.col("cell") == pc, cell_dist(pc)) if dist is None
+                else dist.when(F.col("cell") == pc, cell_dist(pc)))
+    return (
+        coded.select("vec_id", F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(topk)
+    )

@@ -165,6 +165,19 @@ def test_cosine_pairs_above(spark, embeddings):
     assert (pairs.cosine <= 1.0).all()
 
 
+def test_cosine_pairs_above_guard_fires(spark, embeddings):
+    # the small-N contract is mechanical: an input larger than
+    # max_input_rows raises BEFORE the quadratic join is scheduled,
+    # and only an explicit None opts out
+    import pytest
+
+    sub = embeddings.filter("vec_id < 40")
+    with pytest.raises(ValueError, match="all-pairs"):
+        cosine_pairs_above(sub, threshold=0.0, max_input_rows=10)
+    out = cosine_pairs_above(sub, threshold=0.0, max_input_rows=None).toPandas()
+    assert len(out) > 0
+
+
 def test_pii_mask(spark):
     import pandas as pd
     from rio_spark.operators.text import pii_mask
