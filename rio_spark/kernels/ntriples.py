@@ -196,13 +196,22 @@ def _parse_doc(text: str, quads: bool, star: bool):
             else:
                 sub, pred, obj_iri, lit, lang, dt = m.groups()
                 graph_iri = None
-            ws = wrap(sub)
-            wp = wrap(pred) if ws is not None else None
-            wo = (wrap(obj_iri) if obj_iri is not None else True) if wp is not None else None
+            # memo probes are inlined (hit skips the wrap call): memo values
+            # are non-empty "<...>" strings, so `get(...) or wrap(...)` is
+            # None/falsy exactly when the term is unvalidated-and-invalid
+            ws = iri_memo.get(sub) or wrap(sub)
+            if ws is not None:
+                wp = iri_memo.get(pred) or wrap(pred)
+            else:
+                wp = None
+            if wp is not None:
+                wo = (iri_memo.get(obj_iri) or wrap(obj_iri)) if obj_iri is not None else True
+            else:
+                wo = None
             if (
                 wo is not None
-                and (dt is None or wrap(dt) is not None)
-                and (graph_iri is None or wrap(graph_iri) is not None)
+                and (dt is None or iri_memo.get(dt) or wrap(dt))
+                and (graph_iri is None or iri_memo.get(graph_iri) or wrap(graph_iri))
             ):
                 # BCP-47-validate the language tag here too so acceptance does
                 # not depend on which path a line happens to take (the slow
@@ -216,7 +225,8 @@ def _parse_doc(text: str, quads: bool, star: bool):
                 if norm_lang is not False:
                     o: Term = wo if obj_iri is not None else encode_literal(lit, norm_lang, dt)
                     if quads:
-                        g = wrap(graph_iri) if graph_iri is not None else None
+                        # the guard above proved graph_iri valid, so it IS memoized
+                        g = iri_memo[graph_iri] if graph_iri is not None else None
                         triples.append((ws, wp, o, g))
                     else:
                         triples.append((ws, wp, o))

@@ -473,7 +473,10 @@ class _Parser:
             return self.parse_generalized_node()
         m = _FAST_VERB_RE.match(self.s, self.i)
         if m is not None:
-            t = self._fast_term(m.group("p"), "p")
+            tok = m.group("p")
+            t = self._pn_cache.get(tok)
+            if t is None:
+                t = self._fast_term(tok, "p")
             # predicates must be IRIs — enforce it mechanically (same guard
             # as try_fast_statement / the pred-cont loop) rather than rely on
             # _FAST_VERB_RE never admitting a non-IRI-shaped token
@@ -661,13 +664,17 @@ class _Parser:
                     # fused comma-run: each iteration is one regex match plus
                     # one term expansion; whatever it can't prove falls back
                     # to the generic body above (via the outer `continue`)
+                    cache = self._pn_cache
                     while True:
                         m = _FAST_OBJCONT_RE.match(self.s, self.i)
                         if m is None:
                             break
-                        t = self._fast_term(m.group("o"), "o")
+                        tok = m.group("o")
+                        t = cache.get(tok)
                         if t is None:
-                            break
+                            t = self._fast_term(tok, "o")
+                            if t is None:
+                                break
                         self.emit(subject, pred, t)
                         self.i = m.end()
                     continue
@@ -675,17 +682,26 @@ class _Parser:
             # fused semicolon-run: each iteration consumes one `; verb
             # object` continuation terminated by a same-line ';' or '.';
             # anything it can't prove falls through to the generic loop
+            cache = self._pn_cache
             while True:
                 m = _FAST_PREDCONT_RE.match(self.s, self.i)
                 if m is None:
                     break
                 pt = m.group("p")
-                p2 = RDF_TYPE if pt == "a" else self._fast_term(pt, "p")
+                if pt == "a":
+                    p2 = RDF_TYPE
+                else:
+                    p2 = cache.get(pt)
+                    if p2 is None:
+                        p2 = self._fast_term(pt, "p")
                 if p2 is None or not (isinstance(p2, str) and p2.startswith("<")):
                     break
-                o2 = self._fast_term(m.group("o"), "o")
+                tok = m.group("o")
+                o2 = cache.get(tok)
                 if o2 is None:
-                    break
+                    o2 = self._fast_term(tok, "o")
+                    if o2 is None:
+                        break
                 self.emit(subject, p2, o2)
                 self.i = m.end()
             # predicate continuation
@@ -782,7 +798,12 @@ class _Parser:
             # no trailing-dot check: the _F_BNODE pattern cannot end with one
             if not label or not _F_BNODE_FIRST_RE.match(label):
                 return None
-            return BNode("u", label)
+            # safe to share the cache: a BNode is not a str, so the
+            # predicate call sites' isinstance/startswith('<') guard rejects
+            # a cache hit in p position exactly as the miss path would
+            out = BNode("u", label)
+            self._pn_cache[tok] = out
+            return out
         if c0 == '"':
             # token -> term is deterministic (langtag normalization and the
             # datatype IRIs carry no parser state), so literals cache in the
@@ -804,7 +825,16 @@ class _Parser:
             return RDF_TYPE
         if pos == "o":
             if tok == "true" or tok == "false":
-                return encode_literal(tok, None, XSD_BOOLEAN)
+                # cacheable despite the pos gate: every literal encoding
+                # starts with '"', so a hit in s position is rejected by
+                # try_fast_statement's literal-subject guard and a hit in
+                # p position by the startswith('<') guard — both fall back
+                # to the full grammar, which raises the same error the
+                # miss path would ('a' has no such guard, so it stays
+                # uncached and pos-gated)
+                out = encode_literal(tok, None, XSD_BOOLEAN)
+                self._pn_cache[tok] = out
+                return out
             if c0.isdigit() or c0 in "+-.":
                 # the three grammars are mutually exclusive (double needs an
                 # exponent, decimal a dot without one), so probe integers —
@@ -833,13 +863,29 @@ class _Parser:
         m = _FAST_STMT_RE.match(self.s, self.i)
         if m is None:
             return False
-        s = self._fast_term(m.group("s"), "s")
+        # the cache probe is inlined at every fast call site: tokens repeat
+        # massively, so the hit path skips the _fast_term call entirely —
+        # the per-statement cost drops to three dict gets plus the guards
+        cache = self._pn_cache
+        tok = m.group("s")
+        s = cache.get(tok)
+        if s is None:
+            s = self._fast_term(tok, "s")
         if s is None or isinstance(s, str) and s.startswith('"'):
             return False  # literal subjects are invalid — full grammar rejects
-        p = self._fast_term(m.group("p"), "p")
-        if p is None or not (isinstance(p, str) and p.startswith("<")):
-            return False
-        o = self._fast_term(m.group("o"), "o")
+        tok = m.group("p")
+        if tok == "a":  # rdf:type sugar — pos-gated, so never in the cache
+            p = RDF_TYPE
+        else:
+            p = cache.get(tok)
+            if p is None:
+                p = self._fast_term(tok, "p")
+            if p is None or not (isinstance(p, str) and p.startswith("<")):
+                return False
+        tok = m.group("o")
+        o = cache.get(tok)
+        if o is None:
+            o = self._fast_term(tok, "o")
         if o is None:
             return False
         self.emit(s, p, o)
