@@ -319,6 +319,32 @@ def test_turtle_prefix_env_exposed():
     assert p == {"ex": "http://e2/"}
 
 
+def test_turtle_prefix_redeclaration_invalidates_cached_pnames():
+    # the fast-path term cache must be cleared on @prefix redeclaration:
+    # the same pname token expands against whichever namespace is current
+    t, e = ttl(
+        "@prefix ex: <http://a/> .\nex:s ex:p ex:o .\n"
+        "@prefix ex: <http://b/> .\nex:s ex:p ex:o ."
+    )
+    assert not e
+    assert t == [
+        ("<http://a/s>", "<http://a/p>", "<http://a/o>"),
+        ("<http://b/s>", "<http://b/p>", "<http://b/o>"),
+    ]
+
+
+def test_turtle_cached_tokens_stay_position_gated():
+    # booleans/bnodes enter the shared term cache via object position;
+    # a later hit in subject/predicate position must still be rejected
+    # (literal subjects and non-IRI predicates are grammar errors)
+    t, e = ttl("@prefix : <http://x/> .\n:s :p true .\ntrue :p :o .")
+    assert len(t) == 1 and len(e) == 1
+    t, e = ttl("@prefix : <http://x/> .\n:s :p true .\n:s true :o .")
+    assert len(t) == 1 and len(e) == 1
+    t, e = ttl("@prefix : <http://x/> .\n_:b :p _:b .\n:s _:b :o .")
+    assert len(t) == 1 and len(e) == 1
+
+
 # --- S6: generalized N-Quads -----------------------------------------------------
 
 def test_generalized_nquads_variables_anywhere():
