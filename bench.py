@@ -98,6 +98,23 @@ def _pinned_stage(sf_dir: str, cpus: int) -> dict:
     return pinned
 
 
+def _grid_subprocess() -> dict:
+    """Run grid_mode in a fresh interpreter (same isolation rationale as
+    _pinned_stage: the long-lived bench process contaminates single-thread
+    pure-Python timings). Falls back to in-process on any failure."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--grid"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    try:
+        return json.loads(out.stdout.splitlines()[-1])["grid"]
+    except (IndexError, ValueError, KeyError):
+        return grid_mode(emit=False)
+
+
 def grid_mode(emit: bool = True) -> dict:
     """Criterion-mirror cross-grid (reference testsuite/benches/
     w3c_testsuite.rs:70-83, 269-279): each kernel x each positive corpus
@@ -316,8 +333,11 @@ def main() -> None:
         "throughput": throughput,
         "throughput_turtle_heavy": throughput_turtle,
         # criterion-mirror single-threaded parser x format grid (bytes/sec),
-        # the number comparable to the reference's own bench harness
-        "parser_format_grid": grid_mode(emit=False),
+        # the number comparable to the reference's own bench harness.
+        # Measured in a FRESH subprocess: in-process after the sweep, the
+        # bench process's own heap/GC pressure depressed the pure-Python
+        # rates ~30% (r6: in-sweep ttl read 5.2 MB/s vs 7.9 standalone)
+        "parser_format_grid": _grid_subprocess(),
     }
     print(json.dumps(out))
 

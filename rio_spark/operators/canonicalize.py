@@ -29,11 +29,21 @@ def connected_components(
     Alternates large-star and small-star steps until the edge set reaches a
     fixpoint (every node points directly at its component minimum).
     """
-    # symmetrize; self-loops are harmless and keep singletons addressable
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    )
+    # symmetrize; self-loops are harmless and keep singletons addressable.
+    # The input is EAGERLY checkpointed before the loop: round 0's star DAG
+    # references the edge set 4+ times (symmetrize union, groupBy, join
+    # re-emit), and when the caller's edge lineage is expensive (an LSH
+    # band join, a cosine bucket join) those references race and recompute
+    # it — measured 10+ s of an 12.5 s CC on near-dup pairs at sf0.1.
+    # Every later round reads the previous round's checkpoint already;
+    # this gives round 0 the same contract at the cost of one extra job.
+    from rio_spark.session import coalesced_shuffles
+
+    with coalesced_shuffles(edges.sparkSession):
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        ).localCheckpoint(eager=True)
 
     # Each star step is expressed as groupBy-MIN + join re-emit, never an
     # array-materialized neighborhood: a hub with 10^8 spokes would otherwise
@@ -83,8 +93,6 @@ def connected_components(
     # pure-JVM loop: re-enable AQE coalescing around the fixpoint's driver
     # jobs (see session.coalesced_shuffles — the global disable protects
     # Python kernel stages, which this loop has none of)
-    from rio_spark.session import coalesced_shuffles
-
     with coalesced_shuffles(edges.sparkSession):
         prev_sig = None
         for _ in range(max_iter):

@@ -266,13 +266,10 @@ def test_snapshot_isolation_and_time_travel(spark, tmp_path):
     assert store.graph(spark).count() == 60
 
 
-def test_legacy_store_migration_recovers_old_swap_dirs(spark, tmp_path):
-    """A store written by the pre-manifest format (data files, no
-    _manifests dir), crashed mid-compaction by the OLD code (complete
-    rewrite in p_bucket=0.compacting, live dir renamed away): the first
-    WRITE on the new format must promote the staging dir, bootstrap the
-    file set as a snapshot, and lose nothing; reads before that writer are
-    pure and simply see the committed buckets."""
+def _devolved_legacy_store(spark, tmp_path):
+    """Build a 3-merge store, then devolve it to the pre-manifest layout
+    crashed mid-compaction by the OLD code (complete rewrite staged in
+    p_bucket=0.compacting, live dir renamed away; stale .old leftover)."""
     import shutil
     from pathlib import Path
 
@@ -287,24 +284,49 @@ def test_legacy_store_migration_recovers_old_swap_dirs(spark, tmp_path):
     expected = sorted(map(tuple, store.graph(spark).select(
         "subject", "predicate", "object").collect()))
 
-    # devolve to the legacy layout: drop the manifests, stage a crashed swap
     shutil.rmtree(store.manifests_dir)
     root = Path(store.graph_dir)
-    live0 = root / "p_bucket=0"
-    live0.rename(root / "p_bucket=0.compacting")  # rewrite done, live gone
+    (root / "p_bucket=0").rename(root / "p_bucket=0.compacting")
     (root / "p_bucket=1.old").mkdir()             # post-swap leftover
+    return store, root, expected
 
-    # pure read on the legacy store: sees only intact bucket dirs
-    partial = store.graph(spark).count()
-    assert partial < len(expected)
+
+def test_legacy_read_refuses_staged_swap_then_migrates(spark, tmp_path):
+    """Pure reads must NOT silently serve a partial bucket set from a
+    legacy store with interrupted-compaction staging dirs (r5 advice):
+    they fail loudly; migrate_legacy() is the read-only consumer's
+    recovery entry point and loses nothing."""
+    import pytest
+
+    store, root, expected = _devolved_legacy_store(spark, tmp_path)
+
+    with pytest.raises(RuntimeError, match="migrate_legacy"):
+        store.graph(spark).count()
+    # the refusing read stayed pure: staging dirs untouched
     assert (root / "p_bucket=0.compacting").exists()
+    assert (root / "p_bucket=1.old").exists()
 
-    # first write migrates: recovery + bootstrap + the merge itself
+    store.migrate_legacy()
+    assert (root / "p_bucket=0").exists()
+    assert not (root / "p_bucket=0.compacting").exists()
+    assert not (root / "p_bucket=1.old").exists()
+    got = sorted(map(tuple, store.graph(spark).select(
+        "subject", "predicate", "object").collect()))
+    assert got == expected
+    assert [s["op"] for s in store.snapshots()] == ["bootstrap"]
+
+
+def test_legacy_store_migration_recovers_old_swap_dirs(spark, tmp_path):
+    """The first WRITE on the new format must promote the staging dir,
+    bootstrap the file set as a snapshot, and lose nothing — no explicit
+    migrate_legacy() call needed on the write path."""
+    store, root, expected = _devolved_legacy_store(spark, tmp_path)
+
     assert store.merge(spark, spark.createDataFrame(
         [("<http://e/new>", "<http://p/x>", '"n"', None)],
         "subject string, predicate string, object string, graph string",
     )) == 1
-    assert live0.exists()
+    assert (root / "p_bucket=0").exists()
     assert not (root / "p_bucket=0.compacting").exists()
     assert not (root / "p_bucket=1.old").exists()
     got = sorted(map(tuple, store.graph(spark).select(
