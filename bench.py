@@ -310,6 +310,33 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).count()
             steady[name] = round(time.perf_counter() - t0, 3)
 
+    # recall@10 of every ANN path vs brute ground truth, averaged over a
+    # 32-query batch (the single-query sim_ann_recall driver row is 10 hit
+    # samples — pure data luck; this is the falsifiability number)
+    from rio_spark.operators.similarity import ann_recall_report
+
+    t0 = time.perf_counter()
+    recall_rows = ann_recall_report(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_queries=32, k=10,
+    ).collect()
+    ann_recall = {
+        r["path"]: {"mean": r["mean_recall"], "min": r["min_recall"],
+                    "max": r["max_recall"]}
+        for r in recall_rows
+    }
+    ann_recall["_params"] = {"n_queries": 32, "k": 10,
+                             "seconds": round(time.perf_counter() - t0, 3)}
+    # the same paths at a 32-bit code budget (m=8, k=16 vs the catalog's
+    # m=4, k=8 = 12 bits): recall scales with m*log2(k) — the tuning knob
+    # a production index turns (numpy sweep in BENCH/BASELINE.md r6)
+    hi_rows = ann_recall_report(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_queries=16, k=10, m=8, pq_k=16,
+    ).collect()
+    ann_recall["_m8k16"] = {r["path"]: r["mean_recall"] for r in hi_rows
+                            if r["path"].startswith(("pq", "ivfpq"))}
+
     timings["kg_throughput"] = throughput["seconds"]
 
     # fresh-JVM pinned pair: stop the bench session FIRST so the subprocess
@@ -332,6 +359,8 @@ def main() -> None:
         "kg_extract_rows_sf_tables": extract_rows,
         "throughput": throughput,
         "throughput_turtle_heavy": throughput_turtle,
+        # recall@10 per ANN path (mean/min/max over the query batch)
+        "ann_recall": ann_recall,
         # criterion-mirror single-threaded parser x format grid (bytes/sec),
         # the number comparable to the reference's own bench harness.
         # Measured in a FRESH subprocess: in-process after the sweep, the

@@ -19,6 +19,9 @@ from rio_spark.session import get_spark  # noqa: E402
 from rio_spark.testing.parity import TABLES, canon  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional second arg: comma-separated substrings — only queries whose name
+# contains one of them run (targeted re-parity after touching one operator)
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 
 def main():
@@ -28,6 +31,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     failures = []
     names = sorted(QUERIES)
+    if ONLY:
+        names = [n for n in names if any(s in n for s in ONLY)]
     for name in names:
         try:
             got = QUERIES[name](spark, SF_DIR).toPandas()

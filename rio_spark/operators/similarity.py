@@ -498,32 +498,23 @@ def ivf_pq_topk(
     return pq_topk(cand, query_vec, topk, m, k, id_col, vec_col, codebooks)
 
 
-def ivf_pq_residual_topk(
-    embeddings: DataFrame, query_vec: list[float], topk: int = 5,
-    n_centroids: int = 8, nprobe: int = 2, m: int = 4, k: int = 8,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-    refine_iters: int = 0,
-) -> DataFrame:
-    """Residual IVF-PQ — the faiss-style refinement of :func:`ivf_pq_topk`:
-    PQ codes quantize the RESIDUAL ``v - centroid[cell(v)]`` instead of the
-    raw vector.  Residuals cluster tightly around the origin regardless of
-    which coarse cell a vector landed in, so one shared codebook set covers
-    them far better than it covers raw vectors — that is where the recall
-    gain over the non-residual variant comes from (measured in
-    sim_ann_recall), at the SAME cost shape:
+def residual_codebooks(
+    embeddings: DataFrame, n_centroids: int = 8, m: int = 4, k: int = 8,
+    refine_iters: int = 0, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Coarse centroids + residual PQ codebooks (shared by the single-query
+    path and the batched recall evaluator). -> (cents, codebooks[s][c]).
 
-    * encode is still a pure projection — the residual is a ``zip_with``
-      subtraction against the row's own centroid (selected from a literal
-      centroid array by the cell expression), no join, no shuffle;
-    * the codebooks seed from the k lowest-id vectors' residuals (driver-
-      side on bounded collected constants — deterministic, no RNG);
-    * ADC needs one m x k lookup table PER PROBED CELL (the query residual
-      differs per cell): nprobe x m x k driver-side floats, still bounded
-      constants; per-row distance selects its cell's table with a CASE
-      chain over the nprobe survivors of the cell filter.
-
-    Determinism matches the whole ANN family: distances rounded to 6
-    decimals before argmin/ranking, ties to the lowest index / vec_id."""
+    Codebooks seed from the k lowest-id vectors AFTER the centroid seeds:
+    a centroid vector's own residual is the zero vector (its nearest
+    centroid is itself), so seeding from seeds[:k] when k <= n_centroids
+    would collapse every codebook entry to zero and ADC would stop
+    discriminating — caught by the sim_ann_recall gate.  With
+    ``refine_iters > 0`` the codebooks are Lloyd-trained over ALL rows'
+    residuals (query-independent, exactly like pq_codebooks): the residual
+    is a pure column projection, so the training input is a select — no
+    join, no extra shuffle beyond the per-iteration AVG that kmeans_refine
+    itself does."""
     seeds = collect_planes(embeddings, n_centroids + k, id_col, vec_col)
     cents = seeds[:n_centroids]
     d = len(seeds[0]) // m
@@ -538,25 +529,14 @@ def ivf_pq_residual_topk(
             key=lambda i: (round(-2.0 * dot(v, cents[i]) + dot(cents[i], cents[i]), 6), i),
         )
 
-    # seed residual codebooks from the k lowest-id vectors AFTER the
-    # centroid seeds: a centroid vector's own residual is the zero vector
-    # (its nearest centroid is itself), so seeding from seeds[:k] when
-    # k <= n_centroids would collapse every codebook entry to zero and ADC
-    # would stop discriminating — caught by the sim_ann_recall gate
     seed_res = [
         [x - c for x, c in zip(vec, cents[cell_of(vec)])]
         for vec in seeds[n_centroids:n_centroids + k]
     ]
     codebooks = [[rv[s * d:(s + 1) * d] for rv in seed_res] for s in range(m)]
 
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
     if refine_iters:
-        # Lloyd-train the residual codebooks over ALL rows' residuals
-        # (query-independent, exactly like pq_codebooks(refine_iters=...)):
-        # the residual is a pure column projection, so the training input
-        # is a select — no join, no extra shuffle beyond the per-iteration
-        # AVG that kmeans_refine itself does. This is what makes residual
-        # ADC actually beat the non-residual variant (sim_ann_recall).
+        cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
         base = embeddings.select(
             F.col(vec_col).cast("array<double>").alias("v"),
             _cell_expr(vec_col, cents).alias("cell"),
@@ -569,6 +549,49 @@ def ivf_pq_residual_topk(
             sub = res_all.select(F.slice(F.col("rv"), s * d + 1, d).alias("_sub"))
             _, codebooks[s] = kmeans_refine(
                 sub, codebooks[s], iters=refine_iters, vec_col="_sub")
+    return cents, codebooks
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame, query_vec: list[float], topk: int = 5,
+    n_centroids: int = 8, nprobe: int = 2, m: int = 4, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Residual IVF-PQ — the faiss-style refinement of :func:`ivf_pq_topk`:
+    PQ codes quantize the RESIDUAL ``v - centroid[cell(v)]`` instead of the
+    raw vector.  On CLUSTERED data residuals concentrate around the origin
+    regardless of which coarse cell a vector landed in, so one shared
+    codebook set covers them better than it covers raw vectors — that is
+    where the recall gain comes from in real embedding corpora.  Honesty
+    note, measured (ann_recall_report + an independent numpy replication,
+    BENCH/BASELINE.md round 6): on ISOTROPIC data — the synthetic test
+    embeddings are uniform on the unit sphere — the coarse centroids are
+    near-orthogonal random directions, residual norms are ||v - c||^2 ~ 2
+    > ||v||^2 = 1, and the residual variant measurably LOSES to the
+    non-residual one at every training depth.  The implementation is
+    pinned exact by the batch-vs-single consistency test either way; the
+    cost shape is the SAME as the non-residual variant:
+
+    * encode is still a pure projection — the residual is a ``zip_with``
+      subtraction against the row's own centroid (selected from a literal
+      centroid array by the cell expression), no join, no shuffle;
+    * the codebooks seed from the k lowest-id vectors' residuals (driver-
+      side on bounded collected constants — deterministic, no RNG);
+    * ADC needs one m x k lookup table PER PROBED CELL (the query residual
+      differs per cell): nprobe x m x k driver-side floats, still bounded
+      constants; per-row distance selects its cell's table with a CASE
+      chain over the nprobe survivors of the cell filter.
+
+    Determinism matches the whole ANN family: distances rounded to 6
+    decimals before argmin/ranking, ties to the lowest index / vec_id."""
+    cents, codebooks = residual_codebooks(
+        embeddings, n_centroids, m, k, refine_iters, id_col, vec_col)
+    d = len(cents[0]) // m
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
 
     # probe the query's nprobe nearest coarse cells (reduced L2, as IVF-PQ)
     ranked = sorted(
@@ -631,4 +654,215 @@ def ivf_pq_residual_topk(
         coded.select("vec_id", F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(topk)
+    )
+
+
+def ann_recall_report(
+    embeddings: DataFrame, n_queries: int = 16, k: int = 10,
+    n_planes: int = 4, n_centroids: int = 8, nprobe: int = 2,
+    m: int = 4, pq_k: int = 8, refine_iters: int = 1,
+    query_offset: int = 100, id_col: str = "vec_id", vec_col: str = "embedding",
+    return_candidates: bool = False,
+) -> DataFrame:
+    """Batched recall@k of every ANN path against brute-force ground truth —
+    the statistically meaningful version of the single-query sim_ann_recall
+    driver row (10 hit samples per path flip with data luck; this averages
+    over ``n_queries`` query vectors).
+
+    Architecture is the one a 100 TB ANN service actually runs: the INDEX
+    (bucket bits, IVF cell, PQ codes — seed, trained, residual) is built in
+    ONE projection pass and cached; each path then makes ONE pass over that
+    index with the whole query batch amortized via a literal-array explode
+    (per-query constants — bucket bits, probe cells, ADC lookup tables —
+    ride along as driver-side literal arrays indexed by qid; no join, no
+    per-query job, no per-query corpus scan).  The only shuffle per path is
+    the per-qid top-k window over the PRUNED candidate set.
+
+    Queries are the ``n_queries`` lowest-id vectors with id >=
+    ``query_offset`` (disjoint from the id-0.. seed vectors that form the
+    planes/centroids/codebooks, so the index isn't trivially echoing its
+    own seeds).  Each path mirrors its single-query operator's exact
+    rounding/tie rules, pinned by the batch-vs-single consistency test.
+
+    -> (path, n_queries, k, mean_recall, min_recall, max_recall)."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # -- query batch + index constants (all bounded driver-side collects) --
+    qrows = (
+        embeddings.filter(F.col(id_col) >= query_offset)
+        .select(id_col, vec_col).orderBy(F.col(id_col).asc())
+        .limit(n_queries).collect()
+    )
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    nq = len(qvecs)
+    planes = collect_planes(embeddings, n_planes, id_col, vec_col)
+    cents = collect_planes(embeddings, n_centroids, id_col, vec_col)
+    cb_seed = pq_codebooks(embeddings, m, pq_k, id_col, vec_col)
+    cb_tr = pq_codebooks(embeddings, m, pq_k, id_col, vec_col,
+                         refine_iters=refine_iters)
+    rcents, cb_res = residual_codebooks(
+        embeddings, n_centroids, m, pq_k, refine_iters, id_col, vec_col)
+    d = len(cents[0]) // m
+
+    # per-query driver-side constants, one list entry per qid
+    qbits = [_query_bits(q, planes) for q in qvecs]
+    qnorm = [dot(q, q) ** 0.5 for q in qvecs]
+
+    def probe_of(q, cs):
+        ranked = sorted(
+            (round(-2.0 * dot(q, c) + dot(c, c), 6), i) for i, c in enumerate(cs))
+        return [i for _, i in ranked[:nprobe]]
+
+    probes = [probe_of(q, cents) for q in qvecs]
+
+    def adc_table(q, cbs):  # lut[s][c], the pq_topk table
+        out = []
+        for s in range(m):
+            qs = q[s * d:(s + 1) * d]
+            out.append([
+                round(dot(qs, qs) - 2.0 * dot(qs, c) + dot(c, c), 6)
+                for c in cbs[s]
+            ])
+        return out
+
+    lut_seed = [adc_table(q, cb_seed) for q in qvecs]
+    lut_tr = [adc_table(q, cb_tr) for q in qvecs]
+    # residual tables are per (qid, probed cell); dense by cell index with
+    # zero rows for unprobed cells (those rows never survive the filter)
+    zero_tbl = [[0.0] * len(cb_res[s]) for s in range(m)]
+    lut_res = []
+    for qi, q in enumerate(qvecs):
+        by_cell = []
+        for c in range(n_centroids):
+            if c in probes[qi]:
+                qr = [x - y for x, y in zip(q, rcents[c])]
+                by_cell.append(adc_table(qr, cb_res))
+            else:
+                by_cell.append(zero_tbl)
+        lut_res.append(by_cell)
+
+    def lit_deep(x):
+        if isinstance(x, list):
+            return F.array(*[lit_deep(v) for v in x])
+        return F.lit(float(x) if not isinstance(x, str) else x)
+
+    qbits_lit = lit_deep(qbits)
+    qnorm_lit = lit_deep(qnorm)
+    probes_lit = F.array(*[F.array(*[F.lit(int(c)) for c in p]) for p in probes])
+    lut_seed_lit, lut_tr_lit, lut_res_lit = map(lit_deep, (lut_seed, lut_tr, lut_res))
+    qv_structs = F.array(*[
+        F.struct(F.lit(i).alias("qid"),
+                 F.array(*[F.lit(float(x)) for x in q]).alias("qv"))
+        for i, q in enumerate(qvecs)
+    ])
+
+    # -- the index: one projection pass, cached, reused by every path --
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in rcents])
+    v = F.col(vec_col).cast("array<double>")
+    b1 = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), _norm(v).alias("nv"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+        _cell_expr(vec_col, cents).alias("cell"),
+    )
+    b2 = b1.select(  # two-select pattern: codes slice plain columns
+        "*",
+        F.zip_with(F.col("v"), F.element_at(cents_lit, F.col("cell") + 1),
+                   lambda a, b: a - b).alias("rv"),
+    )
+    index = b2.select(
+        "vec_id", "v", "nv", "bucket", "cell",
+        F.array(*[_pq_code_expr("v", cb_seed[s], s, d) for s in range(m)]).alias("c_seed"),
+        F.array(*[_pq_code_expr("v", cb_tr[s], s, d) for s in range(m)]).alias("c_tr"),
+        F.array(*[_pq_code_expr("rv", cb_res[s], s, d) for s in range(m)]).alias("c_res"),
+    ).cache()
+
+    qid = F.col("q.qid")
+    cos = _dot(F.col("v"), F.col("q.qv")) / (F.col("nv") * F.element_at(qnorm_lit, qid + 1))
+
+    def adc(code_col, lut3):
+        t = None
+        for s in range(m):
+            term = F.element_at(
+                F.element_at(F.element_at(lut3, qid + 1), s + 1),
+                F.element_at(F.col(code_col), s + 1) + 1,
+            )
+            t = term if t is None else t + term
+        return F.round(t, 6)
+
+    def adc_res_expr():
+        t = None
+        for s in range(m):
+            term = F.element_at(
+                F.element_at(
+                    F.element_at(F.element_at(lut_res_lit, qid + 1),
+                                 F.col("cell") + 1),
+                    s + 1),
+                F.element_at(F.col("c_res"), s + 1) + 1,
+            )
+            t = term if t is None else t + term
+        return F.round(t, 6)
+
+    exploded = index.select("*", F.explode(qv_structs).alias("q"))
+    in_probe = F.array_contains(F.element_at(probes_lit, qid + 1), F.col("cell"))
+
+    # (filter, score, ascending?) per path — each mirrors its single-query
+    # operator's rounding exactly (gt/lsh unrounded cosine desc, ivf cosine
+    # rounded to 4, PQ family ADC rounded to 6 asc)
+    specs = {
+        "gt": (F.lit(True), cos, False),
+        "lsh": (F.col("bucket") == F.element_at(qbits_lit, qid + 1), cos, False),
+        "ivf": (in_probe, F.round(cos, 4), False),
+        "pq": (F.lit(True), adc("c_seed", lut_seed_lit), True),
+        "pq_trained": (F.lit(True), adc("c_tr", lut_tr_lit), True),
+        "ivfpq": (in_probe, adc("c_seed", lut_seed_lit), True),
+        "ivfpq_res": (in_probe, adc_res_expr(), True),
+    }
+
+    def topk_frame(name):
+        flt, score, asc = specs[name]
+        order = F.col("score").asc() if asc else F.col("score").desc()
+        w = Window.partitionBy("qid").orderBy(order, F.col("vec_id").asc())
+        return (
+            exploded.filter(flt)
+            .select(qid.alias("qid"), "vec_id", score.alias("score"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(F.lit(name).alias("path"), "qid", "vec_id")
+        )
+
+    from functools import reduce
+
+    if return_candidates:
+        # raw per-(path, qid) top-k ids, ground truth included as path "gt"
+        # — the surface the batch-vs-single consistency test pins
+        return reduce(DataFrame.union, [topk_frame(p) for p in specs])
+
+    gt = topk_frame("gt").select("qid", "vec_id", F.lit(1).alias("_hit"))
+    cand = reduce(DataFrame.union,
+                  [topk_frame(p) for p in specs if p != "gt"])
+    per_q = (
+        cand.join(F.broadcast(gt), ["qid", "vec_id"], "left")
+        .groupBy("path", "qid").agg(F.count("_hit").alias("h"))
+    )
+    # dense (path, qid) grid so an empty LSH bucket counts as recall 0,
+    # not a silently missing row
+    grid = spark.createDataFrame(
+        [(p, q) for p in specs if p != "gt" for q in range(nq)],
+        "path string, qid int",
+    )
+    return (
+        grid.join(per_q, ["path", "qid"], "left").fillna(0, subset=["h"])
+        .groupBy("path")
+        .agg(
+            F.lit(nq).alias("n_queries"), F.lit(k).alias("k"),
+            F.round(F.avg(F.col("h") / k), 4).alias("mean_recall"),
+            F.round(F.min(F.col("h") / k), 4).alias("min_recall"),
+            F.round(F.max(F.col("h") / k), 4).alias("max_recall"),
+        )
+        .orderBy("path")
     )

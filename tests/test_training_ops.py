@@ -360,3 +360,46 @@ def test_pq_encode_and_adc_topk(spark):
     top = pq_topk(emb, q0, topk=3, m=2, k=4).collect()
     assert top[0].vec_id == 0 and top[0].adc_dist == 0.0
     assert [r.adc_dist for r in top] == sorted(r.adc_dist for r in top)
+
+
+def test_ann_recall_report_batch_matches_single_query(spark):
+    """The batched evaluator must return EXACTLY the ids each single-query
+    operator returns (same filters, same rounding, same tie rules) — per
+    path, per query.  Also: ivf with nprobe == n_centroids is exhaustive,
+    so its recall vs the brute ground truth must be 1.0."""
+    from rio_spark.operators.similarity import (
+        ann_recall_report, ann_topk_lsh, ivf_pq_residual_topk, ivf_pq_topk,
+        ivf_topk, pq_codebooks, pq_topk, topk_cosine)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    args = dict(n_queries=3, k=5, n_planes=4, n_centroids=8, nprobe=2,
+                m=4, pq_k=8, refine_iters=1, query_offset=100)
+    cand = ann_recall_report(emb, return_candidates=True, **args)
+    got = {
+        (r["path"], r["qid"]): [] for r in cand.select("path", "qid").distinct().collect()
+    }
+    for r in cand.collect():
+        got[(r["path"], r["qid"])].append(r["vec_id"])
+
+    qrows = (emb.filter("vec_id >= 100").orderBy("vec_id").limit(3).collect())
+    cb_tr = pq_codebooks(emb, m=4, k=8, refine_iters=1)
+    for qi, row in enumerate(qrows):
+        qv = [float(x) for x in row["embedding"]]
+        single = {
+            "gt": topk_cosine(emb, qv, 5),
+            "lsh": ann_topk_lsh(emb, qv, k=5, n_planes=4),
+            "ivf": ivf_topk(emb, qv, k=5, n_centroids=8, nprobe=2),
+            "pq": pq_topk(emb, qv, topk=5, m=4, k=8),
+            "pq_trained": pq_topk(emb, qv, topk=5, m=4, k=8, codebooks=cb_tr),
+            "ivfpq": ivf_pq_topk(emb, qv, topk=5, n_centroids=8, nprobe=2, m=4, k=8),
+            "ivfpq_res": ivf_pq_residual_topk(
+                emb, qv, topk=5, n_centroids=8, nprobe=2, m=4, k=8, refine_iters=1),
+        }
+        for name, df in single.items():
+            want = sorted(r["vec_id"] for r in df.collect())
+            assert sorted(got[(name, qi)]) == want, (name, qi)
+
+    exhaustive = ann_recall_report(
+        emb, n_queries=3, k=5, n_centroids=4, nprobe=4, query_offset=100)
+    ivf_row = [r for r in exhaustive.collect() if r["path"] == "ivf"][0]
+    assert ivf_row["mean_recall"] == 1.0
