@@ -98,6 +98,27 @@ def _pinned_stage(sf_dir: str, cpus: int) -> dict:
     return pinned
 
 
+def _shutdown_jvm(spark) -> None:
+    """spark.stop() stops the context but the py4j gateway JVM stays alive
+    (holding its fully-grown heap) until the Python process exits — measured
+    contaminating the fresh-JVM pinned probes and the single-thread grid
+    that run AFTER the sweep (r6: in-bench pinned kg_pagerank 13-27 s vs
+    5.9 s on the idle box; grid NT 26 vs 43 MB/s).  Terminate it."""
+    from pyspark import SparkContext
+
+    spark.stop()
+    gw = SparkContext._gateway
+    if gw is not None:
+        try:
+            gw.shutdown()
+            gw.proc.terminate()
+            gw.proc.wait(timeout=30)
+        except Exception:
+            pass
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+
+
 def _grid_subprocess() -> dict:
     """Run grid_mode in a fresh interpreter (same isolation rationale as
     _pinned_stage: the long-lived bench process contaminates single-thread
@@ -230,20 +251,35 @@ def scaling_multiproc_mode() -> None:
     }))
 
 
+def _throughput_one_mode(cores: int) -> None:
+    """Single-width throughput probe (used by scaling_mode subprocesses)."""
+    from rio_spark.session import get_spark
+
+    spark = get_spark(app_name=f"rio_spark_scaling_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    # 6 runs: this microVM shows +/-50% noise; min-of-5-post-warmup keeps
+    # the pair comparison stable across windows
+    r = _throughput_stage(spark, "0.1", cores, n_convs=40000, n_runs=6)
+    _shutdown_jvm(spark)
+    print(json.dumps(r))
+
+
 def scaling_mode() -> None:
     """Reproduce the BENCH/BASELINE.md scaling curve: the same throughput job
-    at several local[N] widths, fresh session each, steady-state minima."""
-    from rio_spark.session import get_spark
+    at several local[N] widths, steady-state minima.  Each width runs in its
+    OWN subprocess + fresh JVM: sharing one JVM let the first width's grown
+    heap depress the second width's GC behavior (see _shutdown_jvm)."""
+    import subprocess
 
     results = {}
     for cores in (2, 8):
-        spark = get_spark(app_name=f"rio_spark_scaling_{cores}", cores=cores,
-                          shuffle_partitions=max(cores, 8))
-        # 6 runs: this microVM shows +/-50% noise; min-of-5-post-warmup keeps
-        # the pair comparison stable across windows
-        r = _throughput_stage(spark, "0.1", cores, n_convs=40000, n_runs=6)
-        results[f"local[{cores}]"] = r
-        spark.stop()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--throughput-one",
+             str(cores)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[f"local[{cores}]"] = json.loads(out.stdout.splitlines()[-1])
     t_n, t_4n = results["local[2]"], results["local[8]"]
     eff = round(t_4n["triples_per_sec"] / t_n["triples_per_sec"] / 4, 3)
     print(json.dumps({
@@ -261,6 +297,9 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         scaling_mode()
+        return
+    if "--throughput-one" in sys.argv:
+        _throughput_one_mode(int(sys.argv[sys.argv.index("--throughput-one") + 1]))
         return
     if "--grid" in sys.argv:
         grid_mode()
@@ -342,7 +381,7 @@ def main() -> None:
     # fresh-JVM pinned pair: stop the bench session FIRST so the subprocess
     # probes never share the box with a live Spark JVM (the documented 2-8x
     # contamination rule)
-    spark.stop()
+    _shutdown_jvm(spark)
     pinned = _pinned_stage(sf_dir, cpus)
 
     total = round(sum(timings.values()), 3)

@@ -823,24 +823,45 @@ def ann_recall_report(
         "ivfpq_res": (in_probe, adc_res_expr(), True),
     }
 
+    # two-phase top-k: a single per-qid window would shuffle every candidate
+    # into at most n_queries tasks — a hard bottleneck on a wide cluster
+    # (the gt path scans the FULL corpus per query by definition).  Phase 1
+    # takes the per-(qid, vec_id%P) top-k (P ~ cluster width, so the heavy
+    # window fans out over qid x P keys); phase 2 windows only the surviving
+    # qid x P x k rows.  Exact: the global top-k is contained in the union
+    # of bucket top-ks (pinned by the batch-vs-single consistency test).
+    n_pre = max(spark.sparkContext.defaultParallelism, 8)
+
     def topk_frame(name):
         flt, score, asc = specs[name]
         order = F.col("score").asc() if asc else F.col("score").desc()
-        w = Window.partitionBy("qid").orderBy(order, F.col("vec_id").asc())
+        w1 = Window.partitionBy("qid", "pre").orderBy(order, F.col("vec_id").asc())
+        w2 = Window.partitionBy("qid").orderBy(order, F.col("vec_id").asc())
         return (
             exploded.filter(flt)
-            .select(qid.alias("qid"), "vec_id", score.alias("score"))
-            .withColumn("rn", F.row_number().over(w))
+            .select(qid.alias("qid"), "vec_id", score.alias("score"),
+                    F.pmod(F.col("vec_id"), F.lit(n_pre)).alias("pre"))
+            .withColumn("rn", F.row_number().over(w1))
             .filter(F.col("rn") <= k)
+            .withColumn("rn2", F.row_number().over(w2))
+            .filter(F.col("rn2") <= k)
             .select(F.lit(name).alias("path"), "qid", "vec_id")
         )
 
     from functools import reduce
 
+    def materialized(df):
+        # a report is bounded (paths x queries x k rows at most): compute it
+        # eagerly so the index cache can be released HERE instead of leaking
+        # into the caller's session for its lifetime
+        rows, schema = df.collect(), df.schema
+        index.unpersist()
+        return spark.createDataFrame(rows, schema)
+
     if return_candidates:
         # raw per-(path, qid) top-k ids, ground truth included as path "gt"
         # — the surface the batch-vs-single consistency test pins
-        return reduce(DataFrame.union, [topk_frame(p) for p in specs])
+        return materialized(reduce(DataFrame.union, [topk_frame(p) for p in specs]))
 
     gt = topk_frame("gt").select("qid", "vec_id", F.lit(1).alias("_hit"))
     cand = reduce(DataFrame.union,
@@ -855,7 +876,7 @@ def ann_recall_report(
         [(p, q) for p in specs if p != "gt" for q in range(nq)],
         "path string, qid int",
     )
-    return (
+    return materialized(
         grid.join(per_q, ["path", "qid"], "left").fillna(0, subset=["h"])
         .groupBy("path")
         .agg(
