@@ -109,8 +109,14 @@ def _shutdown_jvm(spark) -> None:
     spark.stop()
     gw = SparkContext._gateway
     if gw is not None:
+        # each step in its own guard: shutdown() raising (half-closed
+        # gateway socket) must not skip the terminate that actually frees
+        # the heap — that would silently reintroduce the contamination
         try:
             gw.shutdown()
+        except Exception:
+            pass
+        try:
             gw.proc.terminate()
             gw.proc.wait(timeout=30)
         except Exception:
@@ -131,9 +137,16 @@ def _grid_subprocess() -> dict:
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     try:
-        return json.loads(out.stdout.splitlines()[-1])["grid"]
+        grid = json.loads(out.stdout.splitlines()[-1])["grid"]
+        grid["_measured_in"] = "fresh-subprocess"
+        return grid
     except (IndexError, ValueError, KeyError):
-        return grid_mode(emit=False)
+        # the fallback runs in THIS post-sweep process, whose heap/GC
+        # pressure measurably depresses pure-Python rates ~30% — mark it so
+        # a fallback number is never mistaken for the fresh-subprocess one
+        grid = grid_mode(emit=False)
+        grid["_measured_in"] = "in-process-fallback (rates read ~30% low)"
+        return grid
 
 
 def grid_mode(emit: bool = True) -> dict:
@@ -279,7 +292,19 @@ def scaling_mode() -> None:
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        results[f"local[{cores}]"] = json.loads(out.stdout.splitlines()[-1])
+        try:
+            results[f"local[{cores}]"] = json.loads(out.stdout.splitlines()[-1])
+        except (IndexError, ValueError):
+            # a dead width subprocess (launch failure, OOM kill) must not
+            # abort the run after its long sibling — record the failure
+            # with the cause instead of discarding stderr
+            print(json.dumps({
+                "metric": "scaling_efficiency_N_to_4N",
+                "error": f"local[{cores}] probe exited {out.returncode}",
+                "stderr_tail": out.stderr[-800:],
+                "partial": {k: v["triples_per_sec"] for k, v in results.items()},
+            }))
+            return
     t_n, t_4n = results["local[2]"], results["local[8]"]
     eff = round(t_4n["triples_per_sec"] / t_n["triples_per_sec"] / 4, 3)
     print(json.dumps({

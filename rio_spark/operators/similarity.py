@@ -40,11 +40,18 @@ def cosine_to_query(
 
 
 def topk_cosine(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10, **kw
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    round_to: int = 4, **kw
 ) -> DataFrame:
-    """Brute-force exact top-k (the baseline an ANN variant is judged by)."""
+    """Brute-force exact top-k (the baseline an ANN variant is judged by).
+    Ranks by the ROUNDED cosine with a vec_id tiebreak — the same
+    determinism convention as every other ANN operator here (ivf_topk,
+    pq_topk, the catalog's inlined top-ks): an unrounded float order is
+    engine-specific at the last ulp, so a 1e-4-scale tie at the k boundary
+    would make Spark and a SQL oracle pick different member sets."""
     return (
         cosine_to_query(embeddings, query_vec, **kw)
+        .select("vec_id", F.round("cosine", round_to).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -713,12 +720,25 @@ def ann_recall_report(
     qbits = [_query_bits(q, planes) for q in qvecs]
     qnorm = [dot(q, q) ** 0.5 for q in qvecs]
 
-    def probe_of(q, cs):
+    # per-path probe sets: each mirrors ITS operator's exact probe rounding
+    # — ivf_topk ranks cells by round(FULL L2, 6) while ivf_pq_topk /
+    # ivf_pq_residual_topk rank by round(REDUCED -2 q.c + c.c, 6); the q.q
+    # constant shifts values before rounding, so near-ties can order
+    # differently and one shared probe list would desync the batch from
+    # one of the shipped operators on tie data
+    def probe_full(q, cs):
+        ranked = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(q, c)), 6), i)
+            for i, c in enumerate(cs))
+        return [i for _, i in ranked[:nprobe]]
+
+    def probe_reduced(q, cs):
         ranked = sorted(
             (round(-2.0 * dot(q, c) + dot(c, c), 6), i) for i, c in enumerate(cs))
         return [i for _, i in ranked[:nprobe]]
 
-    probes = [probe_of(q, cents) for q in qvecs]
+    probes_ivf = [probe_full(q, cents) for q in qvecs]
+    probes = [probe_reduced(q, cents) for q in qvecs]
 
     def adc_table(q, cbs):  # lut[s][c], the pq_topk table
         out = []
@@ -754,6 +774,7 @@ def ann_recall_report(
     qbits_lit = lit_deep(qbits)
     qnorm_lit = lit_deep(qnorm)
     probes_lit = F.array(*[F.array(*[F.lit(int(c)) for c in p]) for p in probes])
+    probes_ivf_lit = F.array(*[F.array(*[F.lit(int(c)) for c in p]) for p in probes_ivf])
     lut_seed_lit, lut_tr_lit, lut_res_lit = map(lit_deep, (lut_seed, lut_tr, lut_res))
     qv_structs = F.array(*[
         F.struct(F.lit(i).alias("qid"),
@@ -809,14 +830,16 @@ def ann_recall_report(
 
     exploded = index.select("*", F.explode(qv_structs).alias("q"))
     in_probe = F.array_contains(F.element_at(probes_lit, qid + 1), F.col("cell"))
+    in_probe_ivf = F.array_contains(F.element_at(probes_ivf_lit, qid + 1), F.col("cell"))
 
     # (filter, score, ascending?) per path — each mirrors its single-query
-    # operator's rounding exactly (gt/lsh unrounded cosine desc, ivf cosine
-    # rounded to 4, PQ family ADC rounded to 6 asc)
+    # operator's rounding exactly (gt/lsh/ivf cosine rounded to 4 desc,
+    # PQ family ADC rounded to 6 asc)
     specs = {
-        "gt": (F.lit(True), cos, False),
-        "lsh": (F.col("bucket") == F.element_at(qbits_lit, qid + 1), cos, False),
-        "ivf": (in_probe, F.round(cos, 4), False),
+        "gt": (F.lit(True), F.round(cos, 4), False),
+        "lsh": (F.col("bucket") == F.element_at(qbits_lit, qid + 1),
+                F.round(cos, 4), False),
+        "ivf": (in_probe_ivf, F.round(cos, 4), False),
         "pq": (F.lit(True), adc("c_seed", lut_seed_lit), True),
         "pq_trained": (F.lit(True), adc("c_tr", lut_tr_lit), True),
         "ivfpq": (in_probe, adc("c_seed", lut_seed_lit), True),
@@ -853,9 +876,12 @@ def ann_recall_report(
     def materialized(df):
         # a report is bounded (paths x queries x k rows at most): compute it
         # eagerly so the index cache can be released HERE instead of leaking
-        # into the caller's session for its lifetime
-        rows, schema = df.collect(), df.schema
-        index.unpersist()
+        # into the caller's session for its lifetime — including when the
+        # collect itself fails (finally, not post-success)
+        try:
+            rows, schema = df.collect(), df.schema
+        finally:
+            index.unpersist()
         return spark.createDataFrame(rows, schema)
 
     if return_candidates:

@@ -3986,11 +3986,12 @@ QUERIES = {
     # -- TAIL [50:]: driver-green in round 5 (CORRECTNESS_r05), freshness
     # enforced by tests/test_oracle_parity.py (newest green row must be
     # within one round of the latest recorded round). corpus_clean_e2e's
-    # round-6 change (decontaminating AFTER the lang/quality gates) is
-    # output-identical by construction — the gate is an anti-join on
-    # doc_id, and docs dropped by the earlier gates can't re-enter — so
-    # its r5 driver row still attests the output contract; the local
-    # typed-parity harness re-checks the value hash every round. ----------
+    # actual round-6 changes are an eager fill of the keep2 cache and the
+    # CC round-0 checkpoint — both pure materialization points, no plan
+    # semantics touched (the verdict's suggested gate reorder was A/B
+    # tested and REJECTED; see q_corpus_clean_e2e) — so its r5 driver row
+    # still attests the output contract; the local typed-parity harness
+    # re-checks the value hash every round. -------------------------------
     "dedup_decontaminate": q_dedup_decontaminate,
     "kg_kcore_fixpoint": q_kg_kcore_fixpoint,
     "streaming_join_capped": q_streaming_join_capped,
