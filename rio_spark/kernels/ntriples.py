@@ -50,6 +50,40 @@ _FAST_LINE_NQ = re.compile(
     r"[ \t]*\.[ \t]*(?:#.*)?$"
 )
 _SCHEME_PROBE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+# anchorless twin for probing INSIDE a bracketed token via match(tok, 1) —
+# pattern.match(s, pos) anchors at pos, but a literal '^' in the pattern
+# still means position 0, so the '^'-anchored probe can never be reused here
+_SCHEME_PROBE_AT = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
+
+# ---------------------------------------------------------------------------
+# batched document fast path: ONE multiline findall classifies every line of
+# a (CR-free) document in a single C-level pass — fast statement | blank or
+# comment | anything-else. Alternative order matters: the fast shape first,
+# the blank/comment shape second (zero-width on truly blank lines only), and
+# the catch-all last, so every line yields exactly one tuple and enumerate()
+# over the result IS the line numbering. Terms are captured WITH their
+# delimiters ('<...>', '"..."') so an empty capture ('') unambiguously means
+# "group did not participate" — findall cannot represent None — and the
+# captured bracketed IRI doubles as the term's final wrapped form (no
+# '<'+iri+'>' re-concat per distinct IRI). Group 1 captures the whole fast
+# line so a validation failure (relative IRI, bad langtag) can re-parse the
+# line through the positioned slow path. Lines the fast shape cannot express
+# (escapes, bnodes, quoted triples) fall to the catch-all: both fast regexes
+# exclude backslash in every term body, so an escape-bearing line can never
+# half-match — false negatives only, same contract as the per-line path.
+# ---------------------------------------------------------------------------
+_B_IRI = r"<[^<>\"{}|^`\\\x00-\x20]*>"
+_B_STMT = (
+    r"[ \t]*(" + _B_IRI + r")[ \t]+(" + _B_IRI + r")[ \t]+(?:("
+    + _B_IRI + r')|("[^"\\\n\r]*")(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^('
+    + _B_IRI + r"))?)"
+)
+_B_TAIL = r"[ \t]*\.[ \t]*(?:#[^\n]*)?"
+_B_REST = r"|^[ \t]*(?:#[^\n]*)?$|^([^\n]+)$"
+_BATCH_LINE = re.compile("(?m)^(" + _B_STMT + _B_TAIL + ")$" + _B_REST)
+_BATCH_LINE_NQ = re.compile(
+    "(?m)^(" + _B_STMT + r"(?:[ \t]+(" + _B_IRI + r"))?" + _B_TAIL + ")$" + _B_REST
+)
 
 
 def _skip_ws(s: str, i: int) -> int:
@@ -60,6 +94,9 @@ def _skip_ws(s: str, i: int) -> int:
 
 
 def _parse_subject(s: str, i: int, line: int, star: bool) -> tuple[Term, int]:
+    if i >= len(s):  # reachable via a truncated quoted triple ('<<' at EOL):
+        # error row, not IndexError (fuzz-found via the batch/per-line diff)
+        raise ParseError("UnexpectedEof", "expected subject", line, i)
     c = s[i]
     if c == "<":
         if star and s.startswith("<<", i):
@@ -162,6 +199,110 @@ def _parse_line(s: str, line: int, quads: bool, star: bool):
 
 
 def _parse_doc(text: str, quads: bool, star: bool):
+    """Dispatch: batched single-findall classification for the common CR-free
+    document, the per-line loop for CRLF docs ('$' under (?m) matches before
+    '\\n' only, so any '\\r' would push every line to the catch-all)."""
+    if "\r" in text:
+        return _parse_doc_lines(text, quads, star)
+    triples: list[tuple] = []
+    errors: list[dict] = []
+    # per-document memo: ONE interned str object per distinct bracketed IRI.
+    # Subjects repeat across adjacent lines and predicates across the whole
+    # document; reusing the same object cuts small-string allocator churn
+    # (the measured scaling bottleneck at high core counts, BENCH/BASELINE.md).
+    memo: dict[str, str] = {}
+    probe = _SCHEME_PROBE_AT.match
+
+    def wrap(tok: str):
+        """Scheme-validate a captured '<...>' token once per DISTINCT IRI;
+        the captured string IS the wrapped term, so a valid token interns
+        itself. None = invalid -> the line re-parses through the positioned
+        slow path."""
+        if probe(tok, 1) is None:
+            return None
+        memo[tok] = tok
+        return tok
+
+    mg = memo.get
+    emit = triples.append
+    # two specialized loops (triple / quad tuple shapes differ) so the hot
+    # NT loop carries no per-line `if quads` branches or 9-field unpacking;
+    # inlined memo probes exactly as the per-line path: memo values are
+    # non-empty strings, so `get(...) or wrap(...)` is falsy exactly when
+    # the term is unvalidated-and-invalid
+    if not quads:
+        for lineno, (whole, sub, pred, obj, lit, lang, dt, rest) in enumerate(
+            _BATCH_LINE.findall(text), start=1
+        ):
+            if sub:
+                ws = mg(sub) or wrap(sub)
+                if ws:
+                    wp = mg(pred) or wrap(pred)
+                    if wp:
+                        if obj:
+                            wo = mg(obj) or wrap(obj)
+                            if wo:
+                                emit((ws, wp, wo))
+                                continue
+                        elif not dt or mg(dt) or wrap(dt):
+                            # BCP-47-validate here too so acceptance does not
+                            # depend on which path a line happens to take
+                            try:
+                                nl = normalize_langtag(lang, 0, 0) if lang else None
+                            except ParseError:
+                                nl = False
+                            if nl is not False:
+                                emit((ws, wp, encode_literal(
+                                    lit[1:-1], nl, dt[1:-1] if dt else None)))
+                                continue
+                rest = whole  # fast shape, invalid payload: slow path
+            elif not rest:
+                continue  # blank / comment line
+            try:
+                t = _parse_line(rest, lineno, quads, star)
+                if t is not None:
+                    emit(t)
+            except ParseError as e:
+                e.line = lineno
+                errors.append(e.as_row())  # per-line recovery
+        return triples, errors
+    for lineno, (whole, sub, pred, obj, lit, lang, dt, graph, rest) in enumerate(
+        _BATCH_LINE_NQ.findall(text), start=1
+    ):
+        if sub:
+            ws = mg(sub) or wrap(sub)
+            if ws:
+                wp = mg(pred) or wrap(pred)
+                if wp and (not graph or mg(graph) or wrap(graph)):
+                    if obj:
+                        wo = mg(obj) or wrap(obj)
+                        if wo:
+                            emit((ws, wp, wo, memo[graph] if graph else None))
+                            continue
+                    elif not dt or mg(dt) or wrap(dt):
+                        try:
+                            nl = normalize_langtag(lang, 0, 0) if lang else None
+                        except ParseError:
+                            nl = False
+                        if nl is not False:
+                            emit((ws, wp, encode_literal(
+                                lit[1:-1], nl, dt[1:-1] if dt else None),
+                                memo[graph] if graph else None))
+                            continue
+            rest = whole  # fast shape, invalid payload: slow path
+        elif not rest:
+            continue  # blank / comment line
+        try:
+            t = _parse_line(rest, lineno, quads, star)
+            if t is not None:
+                emit(t)
+        except ParseError as e:
+            e.line = lineno
+            errors.append(e.as_row())  # per-line recovery
+    return triples, errors
+
+
+def _parse_doc_lines(text: str, quads: bool, star: bool):
     triples: list[tuple] = []
     errors: list[dict] = []
     # per-document memo: raw IRI -> ONE bracketed str object. Subjects repeat

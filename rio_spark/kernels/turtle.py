@@ -55,6 +55,12 @@ _PN_LOCAL_ESC = set("_~.-!$&'()*+,;=/?#@%")
 # escape-free PN_LOCAL run and its first-char constraint
 _PN_LOCAL_RUN_RE = re.compile(f"[{PN_CHARS_CLASS}:.]*")
 _PN_LOCAL_FIRST_RE = re.compile(f"[{PN_CHARS_U_CLASS}:0-9]")
+# frozenset membership beats a regex call for the dominant ASCII first chars;
+# every member provably matches _PN_LOCAL_FIRST_RE, so the probe is a pure
+# fast-accept and the regex stays the single source of truth for the rest
+_PN_LOCAL_FIRST_ASCII = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_:"
+)
 
 # ---------------------------------------------------------------------------
 # statement fast path: one regex for the dominant `S P O .` shape with
@@ -846,11 +852,15 @@ class _Parser:
                         self._pn_cache[tok] = out
                         return out
                 return None
-        if ":" not in tok:
+        ci = tok.find(":")
+        if ci < 0:
             return None
-        prefix, local = tok.split(":", 1)
-        # no trailing-dot checks: the _F_PNAME pattern cannot end with one
-        if local and not _PN_LOCAL_FIRST_RE.match(local):
+        prefix = tok[:ci]
+        local = tok[ci + 1 :]
+        # no trailing-dot checks: the _F_PNAME pattern cannot end with one;
+        # ASCII set probe first — almost every real local starts [A-Za-z0-9_:]
+        # — with the regex only for the non-ASCII PN_CHARS_BASE tail
+        if local and local[0] not in _PN_LOCAL_FIRST_ASCII and not _PN_LOCAL_FIRST_RE.match(local):
             return None
         ns = self.prefixes.get(prefix)
         if ns is None:

@@ -73,3 +73,55 @@ def test_fast_path_matches_slow_path(s_iri, p_iri, lit):
     slow, e2 = parse_ntriples(line + '\n<http://a> <http://b> "x\\n" .')
     assert not e1 and not e2
     assert serialize_triples(fast)[0] == serialize_triples(slow)[0]
+
+
+# -- batched vs per-line document path (S1/S2) ------------------------------
+# _parse_doc classifies every line of a CR-free document with one multiline
+# findall; _parse_doc_lines is the per-line loop it replaced (still the CRLF
+# path). The two must agree EXACTLY — triples, error rows, line numbers —
+# on arbitrary input, or the dispatch on "\r" would make acceptance depend
+# on a document's line-ending style.
+
+nt_ish_text = st.text(
+    alphabet=string.ascii_letters + string.digits
+    + " .<>\"@^#_:\\-+\n\r\t{}|`\x00\x16",
+    max_size=300,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(nt_ish_text)
+def test_batched_doc_path_matches_per_line_path(text):
+    from rio_spark.kernels.ntriples import _parse_doc, _parse_doc_lines
+
+    for quads in (False, True):
+        for star in (True, False):
+            assert _parse_doc(text, quads, star) == _parse_doc_lines(
+                text, quads, star
+            ), (text, quads, star)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([
+            '<http://e/s> <http://e/p> <http://e/o> .',
+            '<http://e/s> <http://e/p> "v" .',
+            '<http://e/s> <http://e/p> "v"@en-GB .',
+            '<http://e/s> <http://e/p> "v"^^<http://w/int> .',
+            '_:b0 <http://e/p> _:b1 .',
+            '<rel/iri> <http://e/p> <http://e/o> .',  # relative: slow-path error
+            '<http://e/s> <http://e/p> "a\\"b" .',    # escape: slow path
+            '  # comment', '', '\t',
+            '<http://e/s> <http://e/p> "v" <http://e/g> .',  # quad line
+            'garbage line .',
+        ]),
+        max_size=12,
+    )
+)
+def test_batched_doc_path_matches_per_line_path_structured(lines):
+    from rio_spark.kernels.ntriples import _parse_doc, _parse_doc_lines
+
+    text = "\n".join(lines)
+    for quads in (False, True):
+        assert _parse_doc(text, quads, True) == _parse_doc_lines(text, quads, True)
