@@ -99,6 +99,13 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # fold the out-degree into the cached edge set ONCE: each iteration's
+    # contribution join then touches a single pre-joined table instead of
+    # re-joining outdeg every round (one shuffle join x iters saved). The
+    # division stays rank/deg AT AGGREGATION TIME — not a pre-scaled 1/deg
+    # weight — because sum(rank/deg) and sum(rank*(1/deg)) differ in the
+    # last ulp and the oracle computes the former
+    e_deg = e.join(outdeg, "src").select("src", "dst", "deg").cache()
     # round(·,10) pins the Python double to the same value DuckDB gets from
     # its decimal literal (1.0-0.85 is 0.15000000000000002 in binary)
     base = round(1.0 - damping, 10)
@@ -135,8 +142,7 @@ def pagerank(
         for _ in range(iters):
             r = ranks.select("node", "rank")
             contrib = (
-                e.join(r, e["src"] == r["node"])
-                .join(outdeg, "src")
+                e_deg.join(r, e_deg["src"] == r["node"])
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
             )
@@ -170,6 +176,7 @@ def pagerank(
     # edge/node sets are no longer reachable from the returned plan —
     # release them here instead of leaking blocks for the session lifetime
     e.unpersist()
+    e_deg.unpersist()
     nodes.unpersist()
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
