@@ -32,6 +32,11 @@ from rio_spark.testing.manifest import (  # noqa: E402
 TESTSUITE = Path("/root/reference/testsuite")
 
 SUITES = {
+    # in-repo W3C-style suite (tests/w3c_style) — always available, no
+    # reference checkout needed
+    "w3c-style": (Path(__file__).resolve().parent.parent / "tests" / "w3c_style",
+                  "http://rio-spark.test/w3c-style",
+                  "http://rio-spark.test/w3c-style/manifest.ttl"),
     "serd-good": (TESTSUITE / "serd-tests", "http://drobilla.net/sw/serd/test",
                   "http://drobilla.net/sw/serd/test/good/manifest.ttl"),
     "serd-bad": (TESTSUITE / "serd-tests", "http://drobilla.net/sw/serd/test",

@@ -77,3 +77,25 @@ def test_include_recursion(tmp_path):
     assert [t.name for t in tests] == ["nested", "top"]
     outcomes = run_manifest(f"{url}/manifest.ttl", to_path)
     assert all(o.passed for o in outcomes), [(o.test.name, o.detail) for o in outcomes]
+
+
+def test_in_repo_w3c_style_suite():
+    """The in-repo W3C-style suite (tests/w3c_style, authored from the
+    public Turtle/TriG/N-Triples/N-Quads grammars and the RDF-star CG
+    report) runs through the walker STANDALONE — no /root/reference needed
+    — covering the grammar corners the absent rdf-tests submodules would:
+    numeric classification, nested collections, local-name escapes,
+    ECHAR/UCHAR, long strings, BCP-47 normalization, RFC 3986 resolution,
+    SPARQL directives, RDF-star, TriG graph forms, NQ graph labels, and
+    eight negative-syntax cases incl. MAX_STACK nesting."""
+    root = Path(__file__).parent / "w3c_style"
+    url = "http://rio-spark.test/w3c-style"
+    to_path = url_mapper(url, root)
+    outcomes = run_manifest(f"{url}/manifest.ttl", to_path)
+    assert len(outcomes) == 31
+    kinds = {o.test.kind for o in outcomes}
+    assert kinds == {"eval", "negative_syntax"}
+    # the ntnq sub-manifest arrives via mf:include — both dirs contribute
+    assert any("/ntnq/" in o.test.action for o in outcomes)
+    failures = [(o.test.name, o.detail) for o in outcomes if not o.passed]
+    assert not failures, failures
