@@ -92,10 +92,12 @@ def test_in_repo_w3c_style_suite():
     url = "http://rio-spark.test/w3c-style"
     to_path = url_mapper(url, root)
     outcomes = run_manifest(f"{url}/manifest.ttl", to_path)
-    assert len(outcomes) == 31
+    assert len(outcomes) == 36
     kinds = {o.test.kind for o in outcomes}
     assert kinds == {"eval", "negative_syntax"}
-    # the ntnq sub-manifest arrives via mf:include — both dirs contribute
+    # the ntnq and xml sub-manifests arrive via mf:include
     assert any("/ntnq/" in o.test.action for o in outcomes)
+    assert any("/xml/" in o.test.action for o in outcomes)
+    assert {o.test.format for o in outcomes} == {"ttl", "trig", "nt", "nq", "rdf"}
     failures = [(o.test.name, o.detail) for o in outcomes if not o.passed]
     assert not failures, failures
