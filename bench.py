@@ -379,11 +379,13 @@ def main() -> None:
     # samples — pure data luck; this is the falsifiability number)
     from rio_spark.operators.similarity import ann_recall_report
 
+    # single-row-group test parquet plans a 1-partition scan — widen it to
+    # the session's core count (same trap catalog._widen fixes) so the
+    # cached index build and every path's scoring pass actually fan out
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism)
     t0 = time.perf_counter()
-    recall_rows = ann_recall_report(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        n_queries=32, k=10,
-    ).collect()
+    recall_rows = ann_recall_report(emb, n_queries=32, k=10).collect()
     ann_recall = {
         r["path"]: {"mean": r["mean_recall"], "min": r["min_recall"],
                     "max": r["max_recall"]}
@@ -394,10 +396,7 @@ def main() -> None:
     # the same paths at a 32-bit code budget (m=8, k=16 vs the catalog's
     # m=4, k=8 = 12 bits): recall scales with m*log2(k) — the tuning knob
     # a production index turns (numpy sweep in BENCH/BASELINE.md r6)
-    hi_rows = ann_recall_report(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        n_queries=16, k=10, m=8, pq_k=16,
-    ).collect()
+    hi_rows = ann_recall_report(emb, n_queries=16, k=10, m=8, pq_k=16).collect()
     ann_recall["_m8k16"] = {r["path"]: r["mean_recall"] for r in hi_rows
                             if r["path"].startswith(("pq", "ivfpq"))}
 

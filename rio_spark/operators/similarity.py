@@ -26,6 +26,65 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _pydot(a, b):
+    """Driver-side dot product over collected constants — the Python twin of
+    the ``_dot`` column expression; every ADC table / probe rule below uses
+    this ONE definition so a rounding or tie-rule fix lands everywhere."""
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _probe_reduced(query_vec, cents, nprobe):
+    """The ``nprobe`` cells nearest to ``query_vec`` by the REDUCED L2
+    ``round(-2 q.c + c.c, 6)``, ties to the lowest index — the exact probe
+    rule of :func:`ivf_pq_topk` / :func:`ivf_pq_residual_topk` and the
+    batched recall evaluator.  (:func:`ivf_topk` ranks by FULL L2 instead;
+    the q.q constant shifts values before rounding, so the two rules can
+    order near-ties differently — they stay distinct on purpose.)"""
+    ranked = sorted(
+        (round(-2.0 * _pydot(query_vec, c) + _pydot(c, c), 6), i)
+        for i, c in enumerate(cents)
+    )
+    return [i for _, i in ranked[:nprobe]]
+
+
+def _sql_array_lit(x):
+    """A nested constant as ONE parsed SQL expression instead of a deep
+    F.array/F.lit tree: every F.lit / F.array call is a py4j round trip, so
+    a 32x8x4x8 ADC table literal costs ~6.5 s of pure driver RPC built
+    element-wise (measured) vs ~20 ms through the SQL parser — and
+    ConstantFolding collapses the parsed tree to the identical array
+    Literal either way (verified on the optimized plan).  Doubles print
+    via repr (shortest round-trip decimal) with the D suffix, so the
+    parsed double is bit-identical to what F.lit would embed; ints and
+    strings pass through as plain SQL literals."""
+    def render(v):
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(e) for e in v) + ")"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            raise TypeError("bool constant has no SQL-literal rendering here")
+        if isinstance(v, int):
+            return str(v)
+        return repr(float(v)) + "D"
+    return F.expr(render(x))
+
+
+def _adc_tables(query_vec, codebooks, d):
+    """Per-subspace ADC lookup tables ``t[s][c] = round(||q_s - cb[s][c]||^2,
+    6)`` — bounded driver-side constants (m x k floats), shared verbatim by
+    :func:`pq_topk`, the residual per-cell tables, and the batched recall
+    evaluator so their scores can never desync."""
+    out = []
+    for s, cb_s in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[s * d:(s + 1) * d]]
+        out.append([
+            round(_pydot(qs, qs) - 2.0 * _pydot(qs, c) + _pydot(c, c), 6)
+            for c in cb_s
+        ])
+    return out
+
+
 def cosine_to_query(
     embeddings: DataFrame, query_vec: list[float], id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -357,39 +416,46 @@ def embedding_dup_groups(
 def pq_codebooks(
     embeddings: DataFrame, m: int = 4, k: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    refine_iters: int = 0,
+    refine_iters: int = 0, seeds: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the vector space into ``m``
     contiguous subspaces; codebook ``s`` seeds from the ``k`` lowest-id
     vectors' s-th subvectors (the same deterministic data-derived seeding
-    as the IVF centroids).  ``refine_iters > 0`` Lloyd-trains each
-    subspace's codebook with the SAME distributed kernel IVF refinement
-    uses (:func:`kmeans_refine` over the subvector projection — per-(code,
-    dim) AVG via posexplode + groupBy, map-side combinable, one shuffle
-    per iteration per subspace; only k x d values reach the driver), so
+    as the IVF centroids).  ``refine_iters > 0`` Lloyd-trains ALL m
+    subspace codebooks with the same distributed kernel IVF refinement
+    uses, batched into ONE job per iteration (:func:`_kmeans_refine_all`:
+    per-(subspace, code, dim) AVG via a single posexplode + groupBy,
+    map-side combinable, one shuffle per iteration TOTAL; only m x k x d
+    values reach the driver), so
     the codes downstream actually tile the data instead of echoing the
     seed vectors — this is what lifts ADC recall (see sim_ann_recall).
     Codebook entries that lose all members are dropped, exactly as in IVF
     refinement; codes are positions in the surviving list.  Returns
     ``codebooks[s][c] = list[float]``; plan shapes downstream are
-    unchanged by training."""
-    seeds = collect_planes(embeddings, k, id_col, vec_col)
+    unchanged by training.  ``seeds`` lets a caller that already collected
+    the lowest-id prefix (>= k rows) share ONE collect across the whole
+    index build (see ann_recall_report) — the [:k] slice is identical to
+    what this function would collect itself."""
+    if seeds is None:
+        seeds = collect_planes(embeddings, k, id_col, vec_col)
+    seeds = seeds[:k]
     d = len(seeds[0]) // m
     assert len(seeds[0]) % m == 0, "vector dim must divide evenly into m subspaces"
     cbs = [[list(vec[s * d:(s + 1) * d]) for vec in seeds] for s in range(m)]
     if refine_iters:
-        v = F.col(vec_col).cast("array<double>")
-        for s in range(m):
-            sub = embeddings.select(F.slice(v, s * d + 1, d).alias("_sub"))
-            _, cbs[s] = kmeans_refine(sub, cbs[s], iters=refine_iters, vec_col="_sub")
+        cbs = _kmeans_refine_all(embeddings, cbs, refine_iters, vec_col)
     return cbs
 
 
 def _pq_code_expr(vec_col: str, cb_s: list[list[float]], s: int, d: int,
-                  round_to: int = 6):
+                  round_to: int = 6, labels: list[int] | None = None):
     """Subspace-s code as a pure column expression: argmin over the k
     centroids of round(-2 v_s.c + c.c, 6) — the v_s.v_s term cancels in the
-    argmin exactly as in the IVF cell expression; first index wins ties."""
+    argmin exactly as in the IVF cell expression; first index wins ties.
+    ``labels`` relabels the argmin output (training bookkeeping after a
+    Lloyd iteration drops empty codes — same contract as _cell_expr)."""
+    if labels is None:
+        labels = list(range(len(cb_s)))
     v = F.slice(F.col(vec_col).cast("array<double>"), s * d + 1, d)
     scored = F.array(*[
         F.struct(
@@ -398,11 +464,65 @@ def _pq_code_expr(vec_col: str, cb_s: list[list[float]], s: int, d: int,
                 + F.lit(sum(x * x for x in c)),
                 round_to,
             ).alias("dd"),
-            F.lit(int(ci)).alias("code"),
+            F.lit(int(lab)).alias("code"),
         )
-        for ci, c in enumerate(cb_s)
+        for lab, c in zip(labels, cb_s)
     ])
     return F.array_min(scored)["code"]
+
+
+def _kmeans_refine_all(
+    embeddings: DataFrame, codebooks: list[list[list[float]]], iters: int,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd-train EVERY PQ subspace codebook in ONE distributed job per
+    iteration (the per-subspace :func:`kmeans_refine` loop runs m sequential
+    jobs — pure scheduling overhead at any scale): all m code assignments
+    are computed in a single projection, the full vector is posexploded
+    once, and the per-(subspace, code, dim) AVG keys on the exploded
+    position — ``i div d`` IS the subspace, ``i mod d`` the dim.  The math
+    is kmeans_refine's exactly: same argmin expression (round-to-6 reduced
+    L2, ties to the lowest label), same AVG, same round-to-6 means, codes
+    that lose all members dropped per subspace; only m x k x d averaged
+    values ever reach the driver."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    labels = [list(range(len(cb))) for cb in codebooks]
+    cbs = [list(cb) for cb in codebooks]
+    for _ in range(iters):
+        assigned = embeddings.select(
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            *[
+                _pq_code_expr(vec_col, cbs[s], s, d, labels=labels[s]).alias(f"_c{s}")
+                for s in range(m)
+            ],
+        )
+        # generator in its own select (the kmeans_refine two-select rule)
+        expl = assigned.select(
+            *[f"_c{s}" for s in range(m)], F.posexplode("_v").alias("_i", "_x"))
+        s_expr = (F.col("_i") / d).cast("int")
+        keyed = expl.select(
+            s_expr.alias("s"),
+            F.element_at(
+                F.array(*[F.col(f"_c{i}") for i in range(m)]), s_expr + 1
+            ).alias("cell"),
+            (F.col("_i") % d).alias("li"),
+            F.col("_x"),
+        )
+        rows = (
+            keyed.groupBy("s", "cell", "li")
+            .agg(F.round(F.avg("_x"), 6).alias("mval"))
+            .groupBy("s", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("li", "mval"))).alias("dm"))
+            .collect()
+        )
+        for s in range(m):
+            by_cell = {
+                r["cell"]: [e["mval"] for e in r["dm"]] for r in rows if r["s"] == s
+            }
+            labels[s] = sorted(by_cell)
+            cbs[s] = [by_cell[c] for c in labels[s]]
+    return cbs
 
 
 def pq_encode(
@@ -442,17 +562,7 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, m, k, id_col, vec_col)
     dim = len(codebooks[0][0])
-
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    tables = []
-    for s in range(m):
-        qs = [float(x) for x in query_vec[s * dim:(s + 1) * dim]]
-        tables.append([
-            round(dot(qs, qs) - 2.0 * dot(qs, c) + dot(c, c), 6)
-            for c in codebooks[s]
-        ])
+    tables = _adc_tables(query_vec, codebooks, dim)
     codes = pq_encode(embeddings, m, k, id_col, vec_col, codebooks)
     dist = None
     for s in range(m):
@@ -492,15 +602,7 @@ def ivf_pq_topk(
     cents = seeds[:n_centroids]
     d = len(seeds[0]) // m
     codebooks = [[list(vec[s * d:(s + 1) * d]) for vec in seeds[:k]] for s in range(m)]
-
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    ranked = sorted(
-        (round(-2.0 * dot(query_vec, c) + dot(c, c), 6), i)
-        for i, c in enumerate(cents)
-    )
-    probed = [i for _, i in ranked[:nprobe]]
+    probed = _probe_reduced(query_vec, cents, nprobe)
     cand = embeddings.filter(_cell_expr(vec_col, cents).isin(probed))
     return pq_topk(cand, query_vec, topk, m, k, id_col, vec_col, codebooks)
 
@@ -508,6 +610,7 @@ def ivf_pq_topk(
 def residual_codebooks(
     embeddings: DataFrame, n_centroids: int = 8, m: int = 4, k: int = 8,
     refine_iters: int = 0, id_col: str = "vec_id", vec_col: str = "embedding",
+    seeds: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Coarse centroids + residual PQ codebooks (shared by the single-query
     path and the batched recall evaluator). -> (cents, codebooks[s][c]).
@@ -520,21 +623,18 @@ def residual_codebooks(
     ``refine_iters > 0`` the codebooks are Lloyd-trained over ALL rows'
     residuals (query-independent, exactly like pq_codebooks): the residual
     is a pure column projection, so the training input is a select — no
-    join, no extra shuffle beyond the per-iteration AVG that kmeans_refine
-    itself does."""
-    seeds = collect_planes(embeddings, n_centroids + k, id_col, vec_col)
+    join, no extra shuffle beyond the one-per-iteration AVG that
+    :func:`_kmeans_refine_all` does (all m subspaces in one job).
+    ``seeds`` shares a caller's one lowest-id-prefix collect
+    (>= n_centroids + k rows), exactly as in :func:`pq_codebooks`."""
+    if seeds is None:
+        seeds = collect_planes(embeddings, n_centroids + k, id_col, vec_col)
     cents = seeds[:n_centroids]
     d = len(seeds[0]) // m
     assert len(seeds[0]) % m == 0, "vector dim must divide evenly into m subspaces"
 
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
     def cell_of(v):  # same reduced-L2 argmin as _cell_expr, driver-side
-        return min(
-            range(len(cents)),
-            key=lambda i: (round(-2.0 * dot(v, cents[i]) + dot(cents[i], cents[i]), 6), i),
-        )
+        return _probe_reduced(v, cents, 1)[0]
 
     seed_res = [
         [x - c for x, c in zip(vec, cents[cell_of(vec)])]
@@ -552,10 +652,7 @@ def residual_codebooks(
             F.zip_with(F.col("v"), F.element_at(cents_lit, F.col("cell") + 1),
                        lambda a, b: a - b).alias("rv"),
         )
-        for s in range(m):
-            sub = res_all.select(F.slice(F.col("rv"), s * d + 1, d).alias("_sub"))
-            _, codebooks[s] = kmeans_refine(
-                sub, codebooks[s], iters=refine_iters, vec_col="_sub")
+        codebooks = _kmeans_refine_all(res_all, codebooks, refine_iters, "rv")
     return cents, codebooks
 
 
@@ -597,32 +694,15 @@ def ivf_pq_residual_topk(
     d = len(cents[0]) // m
     cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
 
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
     # probe the query's nprobe nearest coarse cells (reduced L2, as IVF-PQ)
-    ranked = sorted(
-        (round(-2.0 * dot(query_vec, c) + dot(c, c), 6), i)
-        for i, c in enumerate(cents)
-    )
-    probed = [i for _, i in ranked[:nprobe]]
+    probed = _probe_reduced(query_vec, cents, nprobe)
 
     # per-probed-cell ADC tables over the QUERY residual for that cell
-    tables: dict[int, list[list[float]]] = {}
-    for pc in probed:
-        qr = [x - c for x, c in zip(query_vec, cents[pc])]
-        tables[pc] = [
-            [
-                round(
-                    dot(qr[s * d:(s + 1) * d], qr[s * d:(s + 1) * d])
-                    - 2.0 * dot(qr[s * d:(s + 1) * d], c)
-                    + dot(c, c),
-                    6,
-                )
-                for c in codebooks[s]
-            ]
-            for s in range(m)
-        ]
+    tables: dict[int, list[list[float]]] = {
+        pc: _adc_tables([x - c for x, c in zip(query_vec, cents[pc])],
+                        codebooks, d)
+        for pc in probed
+    }
 
     v = F.col(vec_col).cast("array<double>")
     with_cell = embeddings.select(
@@ -678,12 +758,14 @@ def ann_recall_report(
 
     Architecture is the one a 100 TB ANN service actually runs: the INDEX
     (bucket bits, IVF cell, PQ codes — seed, trained, residual) is built in
-    ONE projection pass and cached; each path then makes ONE pass over that
-    index with the whole query batch amortized via a literal-array explode
+    ONE projection pass, and ONE scan of it scores EVERY path for the whole
+    query batch — per-(row, query) scores are computed once into plain
+    columns, then a (path, score, keep) struct explode stacks the 7 paths
+    so a single two-phase window takes every per-(path, query) top-k
     (per-query constants — bucket bits, probe cells, ADC lookup tables —
     ride along as driver-side literal arrays indexed by qid; no join, no
-    per-query job, no per-query corpus scan).  The only shuffle per path is
-    the per-qid top-k window over the PRUNED candidate set.
+    per-query job, no per-path corpus scan).  The only shuffle in the whole
+    report is that one top-k window over the stacked candidates.
 
     Queries are the ``n_queries`` lowest-id vectors with id >=
     ``query_offset`` (disjoint from the id-0.. seed vectors that form the
@@ -696,10 +778,12 @@ def ann_recall_report(
 
     spark = embeddings.sparkSession
 
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    # -- query batch + index constants (all bounded driver-side collects) --
+    # -- query batch + index constants: TWO bounded driver-side collects
+    # (the queries, which carry an id >= query_offset filter, and ONE
+    # lowest-id-prefix collect sliced locally into planes / centroids /
+    # every codebook seed — the same one-collect-serves-all pattern
+    # ivf_pq_topk documents; training iterations inside pq_codebooks /
+    # residual_codebooks still run their own distributed AVG jobs) --
     qrows = (
         embeddings.filter(F.col(id_col) >= query_offset)
         .select(id_col, vec_col).orderBy(F.col(id_col).asc())
@@ -707,18 +791,21 @@ def ann_recall_report(
     )
     qvecs = [[float(x) for x in r[1]] for r in qrows]
     nq = len(qvecs)
-    planes = collect_planes(embeddings, n_planes, id_col, vec_col)
-    cents = collect_planes(embeddings, n_centroids, id_col, vec_col)
-    cb_seed = pq_codebooks(embeddings, m, pq_k, id_col, vec_col)
+    seeds = collect_planes(
+        embeddings, max(n_planes, n_centroids + pq_k), id_col, vec_col)
+    planes = seeds[:n_planes]
+    cents = seeds[:n_centroids]
+    cb_seed = pq_codebooks(embeddings, m, pq_k, id_col, vec_col, seeds=seeds)
     cb_tr = pq_codebooks(embeddings, m, pq_k, id_col, vec_col,
-                         refine_iters=refine_iters)
+                         refine_iters=refine_iters, seeds=seeds)
     rcents, cb_res = residual_codebooks(
-        embeddings, n_centroids, m, pq_k, refine_iters, id_col, vec_col)
+        embeddings, n_centroids, m, pq_k, refine_iters, id_col, vec_col,
+        seeds=seeds)
     d = len(cents[0]) // m
 
     # per-query driver-side constants, one list entry per qid
     qbits = [_query_bits(q, planes) for q in qvecs]
-    qnorm = [dot(q, q) ** 0.5 for q in qvecs]
+    qnorm = [_pydot(q, q) ** 0.5 for q in qvecs]
 
     # per-path probe sets: each mirrors ITS operator's exact probe rounding
     # — ivf_topk ranks cells by round(FULL L2, 6) while ivf_pq_topk /
@@ -732,26 +819,11 @@ def ann_recall_report(
             for i, c in enumerate(cs))
         return [i for _, i in ranked[:nprobe]]
 
-    def probe_reduced(q, cs):
-        ranked = sorted(
-            (round(-2.0 * dot(q, c) + dot(c, c), 6), i) for i, c in enumerate(cs))
-        return [i for _, i in ranked[:nprobe]]
-
     probes_ivf = [probe_full(q, cents) for q in qvecs]
-    probes = [probe_reduced(q, cents) for q in qvecs]
+    probes = [_probe_reduced(q, cents, nprobe) for q in qvecs]
 
-    def adc_table(q, cbs):  # lut[s][c], the pq_topk table
-        out = []
-        for s in range(m):
-            qs = q[s * d:(s + 1) * d]
-            out.append([
-                round(dot(qs, qs) - 2.0 * dot(qs, c) + dot(c, c), 6)
-                for c in cbs[s]
-            ])
-        return out
-
-    lut_seed = [adc_table(q, cb_seed) for q in qvecs]
-    lut_tr = [adc_table(q, cb_tr) for q in qvecs]
+    lut_seed = [_adc_tables(q, cb_seed, d) for q in qvecs]
+    lut_tr = [_adc_tables(q, cb_tr, d) for q in qvecs]
     # residual tables are per (qid, probed cell); dense by cell index with
     # zero rows for unprobed cells (those rows never survive the filter)
     zero_tbl = [[0.0] * len(cb_res[s]) for s in range(m)]
@@ -761,29 +833,29 @@ def ann_recall_report(
         for c in range(n_centroids):
             if c in probes[qi]:
                 qr = [x - y for x, y in zip(q, rcents[c])]
-                by_cell.append(adc_table(qr, cb_res))
+                by_cell.append(_adc_tables(qr, cb_res, d))
             else:
                 by_cell.append(zero_tbl)
         lut_res.append(by_cell)
 
-    def lit_deep(x):
-        if isinstance(x, list):
-            return F.array(*[lit_deep(v) for v in x])
-        return F.lit(float(x) if not isinstance(x, str) else x)
-
-    qbits_lit = lit_deep(qbits)
-    qnorm_lit = lit_deep(qnorm)
-    probes_lit = F.array(*[F.array(*[F.lit(int(c)) for c in p]) for p in probes])
-    probes_ivf_lit = F.array(*[F.array(*[F.lit(int(c)) for c in p]) for p in probes_ivf])
-    lut_seed_lit, lut_tr_lit, lut_res_lit = map(lit_deep, (lut_seed, lut_tr, lut_res))
-    qv_structs = F.array(*[
-        F.struct(F.lit(i).alias("qid"),
-                 F.array(*[F.lit(float(x)) for x in q]).alias("qv"))
+    # every per-query constant table goes through _sql_array_lit: built
+    # element-wise these trees are tens of thousands of py4j round trips
+    # (the 32-query residual table alone measured 6.5 s of driver RPC)
+    qbits_lit = _sql_array_lit(qbits)
+    qnorm_lit = _sql_array_lit(qnorm)
+    probes_lit = _sql_array_lit(probes)
+    probes_ivf_lit = _sql_array_lit(probes_ivf)
+    lut_seed_lit, lut_tr_lit, lut_res_lit = map(
+        _sql_array_lit, (lut_seed, lut_tr, lut_res))
+    qv_structs = F.expr("array(" + ",".join(
+        f"named_struct('qid',{i},'qv',"
+        + "array(" + ",".join(repr(float(x)) + "D" for x in q) + "))"
         for i, q in enumerate(qvecs)
-    ])
+    ) + ")")
 
-    # -- the index: one projection pass, cached, reused by every path --
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in rcents])
+    # -- the index: one projection pass, consumed by ONE scoring scan (no
+    # cache needed — nothing reads it twice) --
+    cents_lit = _sql_array_lit([[float(x) for x in c] for c in rcents])
     v = F.col(vec_col).cast("array<double>")
     b1 = embeddings.select(
         F.col(id_col).alias("vec_id"), v.alias("v"), _norm(v).alias("nv"),
@@ -800,7 +872,7 @@ def ann_recall_report(
         F.array(*[_pq_code_expr("v", cb_seed[s], s, d) for s in range(m)]).alias("c_seed"),
         F.array(*[_pq_code_expr("v", cb_tr[s], s, d) for s in range(m)]).alias("c_tr"),
         F.array(*[_pq_code_expr("rv", cb_res[s], s, d) for s in range(m)]).alias("c_res"),
-    ).cache()
+    )
 
     qid = F.col("q.qid")
     cos = _dot(F.col("v"), F.col("q.qv")) / (F.col("nv") * F.element_at(qnorm_lit, qid + 1))
@@ -832,66 +904,79 @@ def ann_recall_report(
     in_probe = F.array_contains(F.element_at(probes_lit, qid + 1), F.col("cell"))
     in_probe_ivf = F.array_contains(F.element_at(probes_ivf_lit, qid + 1), F.col("cell"))
 
-    # (filter, score, ascending?) per path — each mirrors its single-query
-    # operator's rounding exactly (gt/lsh/ivf cosine rounded to 4 desc,
-    # PQ family ADC rounded to 6 asc)
-    specs = {
-        "gt": (F.lit(True), F.round(cos, 4), False),
-        "lsh": (F.col("bucket") == F.element_at(qbits_lit, qid + 1),
-                F.round(cos, 4), False),
-        "ivf": (in_probe_ivf, F.round(cos, 4), False),
-        "pq": (F.lit(True), adc("c_seed", lut_seed_lit), True),
-        "pq_trained": (F.lit(True), adc("c_tr", lut_tr_lit), True),
-        "ivfpq": (in_probe, adc("c_seed", lut_seed_lit), True),
-        "ivfpq_res": (in_probe, adc_res_expr(), True),
-    }
+    # every per-(row, query) score lands in a plain column ONCE (a union of
+    # per-path branches would re-run the cosine and ADC expressions — and
+    # re-scan the index — once per path); each mirrors its single-query
+    # operator's rounding exactly (gt/lsh/ivf cosine rounded to 4, ranked
+    # desc; PQ family ADC rounded to 6, ranked asc)
+    scored = exploded.select(
+        qid.alias("qid"), "vec_id",
+        F.round(cos, 4).alias("s_cos"),
+        adc("c_seed", lut_seed_lit).alias("s_seed"),
+        adc("c_tr", lut_tr_lit).alias("s_tr"),
+        adc_res_expr().alias("s_res"),
+        (F.col("bucket") == F.element_at(qbits_lit, qid + 1)).alias("k_lsh"),
+        in_probe_ivf.alias("k_ivf"), in_probe.alias("k_pq"),
+    )
 
-    # two-phase top-k: a single per-qid window would shuffle every candidate
-    # into at most n_queries tasks — a hard bottleneck on a wide cluster
-    # (the gt path scans the FULL corpus per query by definition).  Phase 1
-    # takes the per-(qid, vec_id%P) top-k (P ~ cluster width, so the heavy
-    # window fans out over qid x P keys); phase 2 windows only the surviving
-    # qid x P x k rows.  Exact: the global top-k is contained in the union
-    # of bucket top-ks (pinned by the batch-vs-single consistency test).
+    # stack the 7 paths as (path, score, keep) structs in ONE further
+    # explode: the negated cosine orders ASCENDING exactly as the ADC
+    # distances do (negation is exact on doubles, ties unchanged), so a
+    # single window ordering serves every path and the whole report is ONE
+    # scan of the index; candidates never expose the score, only ids
+    def entry(name, score, keep):
+        return F.struct(F.lit(name).alias("path"), score.alias("score"),
+                        keep.alias("keep"))
+
+    stack = F.array(
+        entry("gt", -F.col("s_cos"), F.lit(True)),
+        entry("lsh", -F.col("s_cos"), F.col("k_lsh")),
+        entry("ivf", -F.col("s_cos"), F.col("k_ivf")),
+        entry("pq", F.col("s_seed"), F.lit(True)),
+        entry("pq_trained", F.col("s_tr"), F.lit(True)),
+        entry("ivfpq", F.col("s_seed"), F.col("k_pq")),
+        entry("ivfpq_res", F.col("s_res"), F.col("k_pq")),
+    )
+    paths = ["gt", "lsh", "ivf", "pq", "pq_trained", "ivfpq", "ivfpq_res"]
+
+    # two-phase top-k: a single per-(path, qid) window would shuffle every
+    # candidate into at most paths x n_queries tasks — a bottleneck on a
+    # wide cluster (the gt path scans the FULL corpus per query by
+    # definition).  Phase 1 takes the per-(path, qid, vec_id%P) top-k
+    # (P ~ cluster width, so the heavy window fans out); phase 2 windows
+    # only the surviving rows.  Exact: the global top-k is contained in the
+    # union of bucket top-ks (pinned by the batch-vs-single consistency
+    # test).
     n_pre = max(spark.sparkContext.defaultParallelism, 8)
+    order = (F.col("score").asc(), F.col("vec_id").asc())
+    w1 = Window.partitionBy("path", "qid", "pre").orderBy(*order)
+    w2 = Window.partitionBy("path", "qid").orderBy(*order)
+    topk_all = (
+        scored.select("qid", "vec_id", F.explode(stack).alias("e"))
+        .filter(F.col("e.keep"))
+        .select(F.col("e.path").alias("path"), "qid", "vec_id",
+                F.col("e.score").alias("score"),
+                F.pmod(F.col("vec_id"), F.lit(n_pre)).alias("pre"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= k)
+        .select("path", "qid", "vec_id")
+    )
 
-    def topk_frame(name):
-        flt, score, asc = specs[name]
-        order = F.col("score").asc() if asc else F.col("score").desc()
-        w1 = Window.partitionBy("qid", "pre").orderBy(order, F.col("vec_id").asc())
-        w2 = Window.partitionBy("qid").orderBy(order, F.col("vec_id").asc())
-        return (
-            exploded.filter(flt)
-            .select(qid.alias("qid"), "vec_id", score.alias("score"),
-                    F.pmod(F.col("vec_id"), F.lit(n_pre)).alias("pre"))
-            .withColumn("rn", F.row_number().over(w1))
-            .filter(F.col("rn") <= k)
-            .withColumn("rn2", F.row_number().over(w2))
-            .filter(F.col("rn2") <= k)
-            .select(F.lit(name).alias("path"), "qid", "vec_id")
-        )
-
-    from functools import reduce
-
-    def materialized(df):
-        # a report is bounded (paths x queries x k rows at most): compute it
-        # eagerly so the index cache can be released HERE instead of leaking
-        # into the caller's session for its lifetime — including when the
-        # collect itself fails (finally, not post-success)
-        try:
-            rows, schema = df.collect(), df.schema
-        finally:
-            index.unpersist()
-        return spark.createDataFrame(rows, schema)
+    # a candidate set is bounded (paths x queries x k rows at most):
+    # compute it eagerly so the one heavy job runs HERE and the recall
+    # aggregation below works on a local bounded frame
+    base = spark.createDataFrame(topk_all.collect(), topk_all.schema)
 
     if return_candidates:
         # raw per-(path, qid) top-k ids, ground truth included as path "gt"
         # — the surface the batch-vs-single consistency test pins
-        return materialized(reduce(DataFrame.union, [topk_frame(p) for p in specs]))
+        return base
 
-    gt = topk_frame("gt").select("qid", "vec_id", F.lit(1).alias("_hit"))
-    cand = reduce(DataFrame.union,
-                  [topk_frame(p) for p in specs if p != "gt"])
+    gt = base.filter(F.col("path") == "gt").select(
+        "qid", "vec_id", F.lit(1).alias("_hit"))
+    cand = base.filter(F.col("path") != "gt")
     per_q = (
         cand.join(F.broadcast(gt), ["qid", "vec_id"], "left")
         .groupBy("path", "qid").agg(F.count("_hit").alias("h"))
@@ -899,10 +984,10 @@ def ann_recall_report(
     # dense (path, qid) grid so an empty LSH bucket counts as recall 0,
     # not a silently missing row
     grid = spark.createDataFrame(
-        [(p, q) for p in specs if p != "gt" for q in range(nq)],
+        [(p, q) for p in paths if p != "gt" for q in range(nq)],
         "path string, qid int",
     )
-    return materialized(
+    return (
         grid.join(per_q, ["path", "qid"], "left").fillna(0, subset=["h"])
         .groupBy("path")
         .agg(
