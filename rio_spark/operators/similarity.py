@@ -66,7 +66,13 @@ def _sql_array_lit(x):
             raise TypeError("bool constant has no SQL-literal rendering here")
         if isinstance(v, int):
             return str(v)
-        return repr(float(v)) + "D"
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            # repr would render 'inf'/'nan', which the SQL parser reads as
+            # a COLUMN NAME (unresolved-column error at best) — refuse here
+            # with the actual problem named
+            raise ValueError(f"non-finite constant {f!r} has no SQL double literal")
+        return repr(f) + "D"
     return F.expr(render(x))
 
 

@@ -403,3 +403,44 @@ def test_ann_recall_report_batch_matches_single_query(spark):
         emb, n_queries=3, k=5, n_centroids=4, nprobe=4, query_offset=100)
     ivf_row = [r for r in exhaustive.collect() if r["path"] == "ivf"][0]
     assert ivf_row["mean_recall"] == 1.0
+
+
+def test_sql_array_lit_matches_flit_tree(spark):
+    """_sql_array_lit must produce the exact Literal the element-wise
+    F.lit/F.array tree would: bit-identical doubles (repr is the shortest
+    round-trip decimal), ints, and quote-bearing strings, at any nesting."""
+    from rio_spark.operators.similarity import _sql_array_lit
+
+    doubles = [0.1, -0.0, 5e-324, 1.7976931348623157e308, -123456.789012345,
+               1e-300, 3.141592653589793]
+    nested = [doubles, [7.25, -8.5]]
+    df = spark.range(1).select(
+        _sql_array_lit(doubles).alias("a"),
+        F.array(*[F.lit(float(x)) for x in doubles]).alias("b"),
+        _sql_array_lit(nested).alias("na"),
+        F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in nested]).alias("nb"),
+        _sql_array_lit([1, -2, 0]).alias("ia"),
+        _sql_array_lit(["it's", "plain"]).alias("sa"),
+    )
+    row = df.first()
+    import struct
+    assert [struct.pack(">d", x) for x in row["a"]] == [
+        struct.pack(">d", x) for x in row["b"]]
+    assert [[struct.pack(">d", x) for x in r] for r in row["na"]] == [
+        [struct.pack(">d", x) for x in r] for r in row["nb"]]
+    assert list(row["ia"]) == [1, -2, 0]
+    assert list(row["sa"]) == ["it's", "plain"]
+
+
+def test_sql_array_lit_refuses_unrenderable(spark):
+    """Non-finite doubles would parse as COLUMN NAMES ('infD'); bools have
+    no double rendering — both must fail loudly at build time, not at
+    analysis time with an unresolved-column riddle."""
+    from rio_spark.operators.similarity import _sql_array_lit
+
+    with pytest.raises(ValueError, match="non-finite"):
+        _sql_array_lit([1.0, float("inf")])
+    with pytest.raises(ValueError, match="non-finite"):
+        _sql_array_lit([float("nan")])
+    with pytest.raises(TypeError, match="bool"):
+        _sql_array_lit([True])
