@@ -259,6 +259,42 @@ class GraphStore:
         time travel to any unexpired snapshot."""
         return self._read_files(spark, self._live_files(snapshot))
 
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The snapshot log as a DataFrame — the Iceberg-style
+        ``table.snapshots`` metadata table for this store: one row per
+        committed manifest with its op, parent, file/byte footprint, and
+        the added/removed file deltas vs the parent snapshot.  Built from
+        manifests only (bounded metadata, never scans data files' content);
+        ``bytes`` stats each referenced file and is null for a file deleted
+        by a later expire (the manifest outlives the data it referenced
+        only when a newer kept snapshot still references part of it)."""
+        snaps = self.snapshots()
+        by_n = {s["snapshot"]: set(s["files"]) for s in snaps}
+        cur = self.current_snapshot()
+        root = Path(self.graph_dir)
+        rows = []
+        for s in snaps:
+            files = by_n[s["snapshot"]]
+            parent_files = by_n.get(s["parent"], set()) if s["parent"] is not None else set()
+            sizes = [
+                (root / f).stat().st_size if (root / f).exists() else None
+                for f in files
+            ]
+            rows.append((
+                s["snapshot"], s["parent"], s["op"],
+                float(s["committed_at"]), s["n_files"],
+                sum(b for b in sizes if b is not None) if all(
+                    b is not None for b in sizes) else None,
+                len(files - parent_files), len(parent_files - files),
+                s["snapshot"] == cur,
+            ))
+        return spark.createDataFrame(
+            rows,
+            "snapshot int, parent int, op string, committed_at double, "
+            "n_files int, bytes long, added_files int, removed_files int, "
+            "is_current boolean",
+        )
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         if not Path(self.lineage_dir).exists():
             return spark.createDataFrame([], LINEAGE_SCHEMA)

@@ -334,3 +334,54 @@ def test_legacy_store_migration_recovers_old_swap_dirs(spark, tmp_path):
     assert got == sorted(expected + [("<http://e/new>", "<http://p/x>", '"n"')])
     ops = [s["op"] for s in store.snapshots()]
     assert ops[0] == "bootstrap" and ops[-1] == "merge"
+
+
+def test_snapshots_df_metadata_table(spark, tmp_path):
+    """snapshots_df is the store's Iceberg-style metadata table: one row per
+    manifest with op lineage, file deltas vs the parent, byte footprint of
+    live files (null once expiry has swept a referenced file), and exactly
+    one is_current row."""
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    assert store.snapshots_df(spark).count() == 0  # empty store: empty table
+
+    def merge_batch(i, n=10):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(n)],
+            "subject string, predicate string, object string, graph string",
+        ))
+
+    for i in range(3):
+        merge_batch(i)
+    store.compact(spark, min_files=2, target_rows_per_file=10_000)
+
+    rows = {r["snapshot"]: r for r in store.snapshots_df(spark).collect()}
+    snaps = store.snapshots()
+    assert set(rows) == {s["snapshot"] for s in snaps}
+    cur = store.current_snapshot()
+    assert [n for n, r in rows.items() if r["is_current"]] == [cur]
+    assert rows[cur]["op"] == "compact"
+    # parent chain matches the manifests; merge rows only ever add files
+    for s in snaps:
+        assert rows[s["snapshot"]]["parent"] == s["parent"]
+        assert rows[s["snapshot"]]["n_files"] == s["n_files"]
+        if s["op"] == "merge":
+            assert rows[s["snapshot"]]["removed_files"] == 0
+            assert rows[s["snapshot"]]["added_files"] > 0
+    # compaction swapped files: both deltas nonzero, content bytes live
+    # (the empty init snapshot truthfully reports 0 bytes)
+    assert rows[cur]["added_files"] > 0 and rows[cur]["removed_files"] > 0
+    assert all(
+        r["bytes"] and r["bytes"] > 0
+        for r in rows.values() if r["n_files"] > 0
+    )
+
+    # expiry sweeps files older snapshots referenced exclusively: their
+    # bytes go null (manifest kept only for the surviving tail), while the
+    # kept snapshot still stats fully
+    first = min(rows)
+    store.expire_snapshots(keep_last=1)
+    kept = {r["snapshot"]: r for r in store.snapshots_df(spark).collect()}
+    assert first not in kept
+    assert kept[cur]["bytes"] and kept[cur]["bytes"] > 0
