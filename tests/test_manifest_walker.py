@@ -85,14 +85,17 @@ def test_in_repo_w3c_style_suite():
     report) runs through the walker STANDALONE — no /root/reference needed
     — covering the grammar corners the absent rdf-tests submodules would:
     numeric classification, nested collections, local-name escapes,
-    ECHAR/UCHAR, long strings, BCP-47 normalization, RFC 3986 resolution,
-    SPARQL directives, RDF-star, TriG graph forms, NQ graph labels, and
-    eight negative-syntax cases incl. MAX_STACK nesting."""
+    ECHAR/UCHAR (in literals and IRIREFs), non-ASCII identifiers, comment
+    positions, long strings, BCP-47 normalization, RFC 3986 resolution,
+    SPARQL directives, RDF-star, TriG graph forms (incl. blank-node
+    labels), NQ graph labels, xml:base / parseType=Resource, and ten
+    negative-syntax cases incl. MAX_STACK nesting and a missing final
+    dot."""
     root = Path(__file__).parent / "w3c_style"
     url = "http://rio-spark.test/w3c-style"
     to_path = url_mapper(url, root)
     outcomes = run_manifest(f"{url}/manifest.ttl", to_path)
-    assert len(outcomes) == 36
+    assert len(outcomes) == 44
     kinds = {o.test.kind for o in outcomes}
     assert kinds == {"eval", "negative_syntax"}
     # the ntnq and xml sub-manifests arrive via mf:include
