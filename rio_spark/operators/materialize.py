@@ -252,12 +252,31 @@ class GraphStore:
         paths = [f"{self.graph_dir}/{f}" for f in files]
         return spark.read.option("basePath", self.graph_dir).parquet(*paths)
 
-    def graph(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+    def graph(self, spark: SparkSession, snapshot: int | None = None,
+              as_of: float | None = None) -> DataFrame:
         """The quad set of ``snapshot`` (default: the live snapshot) —
         snapshot-isolated: exactly the pinned manifest's files are read, so
         concurrent merges/compactions are invisible. ``snapshot=<n>`` is
-        time travel to any unexpired snapshot."""
+        time travel to any unexpired snapshot; ``as_of=<unix ts>`` is the
+        ``TIMESTAMP AS OF`` form, resolved via :meth:`snapshot_as_of`."""
+        if as_of is not None:
+            if snapshot is not None:
+                raise ValueError("pass either snapshot or as_of, not both")
+            snapshot = self.snapshot_as_of(as_of)
         return self._read_files(spark, self._live_files(snapshot))
+
+    def snapshot_as_of(self, ts: float) -> int:
+        """The newest snapshot committed at or before unix time ``ts`` —
+        Iceberg's ``TIMESTAMP AS OF`` resolution over the manifest log.
+        Raises if every unexpired snapshot is newer than ``ts`` (the
+        history needed to answer has been expired or never existed)."""
+        eligible = [s for s in self.snapshots() if s["committed_at"] <= ts]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot committed at or before {ts}: history starts "
+                "later or was expired"
+            )
+        return max(eligible, key=lambda s: s["committed_at"])["snapshot"]
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
         """The snapshot log as a DataFrame — the Iceberg-style

@@ -385,3 +385,33 @@ def test_snapshots_df_metadata_table(spark, tmp_path):
     kept = {r["snapshot"]: r for r in store.snapshots_df(spark).collect()}
     assert first not in kept
     assert kept[cur]["bytes"] and kept[cur]["bytes"] > 0
+
+
+def test_graph_as_of_timestamp_time_travel(spark, tmp_path):
+    """graph(as_of=ts) is TIMESTAMP-AS-OF time travel: it reads the newest
+    snapshot committed at or before ts, refuses a ts older than all
+    history, and refuses snapshot+as_of together."""
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    for i in range(2):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://e/s{i}>", "<http://p/x>", f'"{i}"', None)],
+            "subject string, predicate string, object string, graph string",
+        ))
+    snaps = store.snapshots()
+    merges = [s for s in snaps if s["op"] == "merge"]
+    t_first, t_second = merges[0]["committed_at"], merges[1]["committed_at"]
+
+    # pinned between the two merges: only the first triple is visible
+    assert store.snapshot_as_of(t_first) == merges[0]["snapshot"]
+    mid = store.graph(spark, as_of=(t_first + t_second) / 2)
+    assert [r["object"] for r in mid.collect()] == ['"0"']
+    # at-or-after the second commit: both visible (<= boundary is inclusive)
+    assert store.graph(spark, as_of=t_second).count() == 2
+    assert store.graph(spark, as_of=t_second + 1e6).count() == 2
+
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        store.snapshot_as_of(snaps[0]["committed_at"] - 1.0)
+    with pytest.raises(ValueError, match="not both"):
+        store.graph(spark, snapshot=0, as_of=t_first)
