@@ -346,13 +346,19 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int | None = 3) -> DataFrame:
     surviving nodes — the same shuffle budget as a CC round, hub-safe (no
     neighborhood arrays).  The fixpoint mode reuses the CC loop's
     convergence signature (canonicalize.py): each round's edge set is a
-    LAZY localCheckpoint whose materializing action IS the convergence
-    check — one driver job per round.  Peeling only ever REMOVES edges, so
-    the edge count alone is a sufficient signature (count unchanged ==
-    nothing removed == degrees unchanged == converged); at 10^12 edges a
-    power-law graph converges in a handful of rounds, while a worst-case
-    path graph takes O(diameter) rounds — the fixed-budget mode exists for
-    exactly that adversarial case.
+    LAZY localCheckpoint, and the convergence count runs every SECOND
+    peel: one driver job materializes both rounds' checkpoints (the odd
+    round's lazy checkpoint persists on first use, so the double-peel
+    lineage evaluates it once despite the 3 references the next round
+    makes).  Peeling only ever REMOVES edges, so the edge count alone is
+    a sufficient signature — count unchanged across the pair means both
+    peels removed nothing == converged; at worst one redundant no-op peel
+    runs past the fixpoint, for half the driver jobs of count-per-round
+    (the shuffle budget per peel is identical — this trades only per-job
+    fixed cost, which dominates at bench scale and vanishes at 10^12
+    edges).  A power-law graph converges in a handful of rounds, while a
+    worst-case path graph takes O(diameter) rounds — the fixed-budget
+    mode exists for exactly that adversarial case.
     """
     from rio_spark.session import coalesced_shuffles
 
@@ -375,8 +381,8 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int | None = 3) -> DataFrame:
                 .localCheckpoint(eager=rounds is not None)
             )
             done += 1
-            if rounds is None:
-                n = e.count()  # materializes the lazy checkpoint
+            if rounds is None and done % 2 == 0:
+                n = e.count()  # materializes both peels' lazy checkpoints
                 if n == prev_n or n == 0:
                     break
                 prev_n = n
