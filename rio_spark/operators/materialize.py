@@ -314,6 +314,82 @@ class GraphStore:
             "is_current boolean",
         )
 
+    def files_df(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        """The live data files of ``snapshot`` (default CURRENT) as a
+        DataFrame — the Iceberg-style ``table.files`` metadata table: one
+        row per file with its bucket, byte size and parquet row count (read
+        from the footer, never scanning data pages).  This is the input a
+        maintenance scheduler needs to pick compaction candidates
+        (fragmented buckets, undersized files) without touching the data.
+        Bounded metadata work on the driver: one footer read per live file,
+        the same cost class as planning a scan of the snapshot."""
+        import pyarrow.parquet as pq
+
+        root = Path(self.graph_dir)
+        rows = []
+        for f in self._live_files(snapshot):
+            p = root / f
+            rows.append((
+                f,
+                int(_BUCKET_DIR_RE.match(f.split("/", 1)[0]).group(1)),
+                p.stat().st_size,
+                pq.ParquetFile(p).metadata.num_rows,
+            ))
+        return spark.createDataFrame(
+            rows, "file string, bucket int, bytes long, rows long"
+        )
+
+    def rollback(self, to_snapshot: int) -> int:
+        """Roll the table back to ``to_snapshot``: commit a NEW manifest
+        whose file list is the target's (op ``rollback``), then flip
+        CURRENT — Iceberg's ``rollback_to_snapshot``.  History is never
+        rewritten: the rolled-back-over snapshots stay readable until
+        expiry, and the rollback itself is one more crash-safe commit.
+        Raises for an unknown or expired target; a target manifest that
+        survived expiry always has all its data files on disk (expiry
+        deletes a manifest and its exclusively-referenced files
+        together)."""
+        target = self._read_manifest(to_snapshot)
+        return self._commit(set(target["files"]), "rollback")
+
+    def added_quads(
+        self, spark: SparkSession, since: int, until: int | None = None
+    ) -> DataFrame:
+        """The quads appended by merge commits in ``(since, until]`` —
+        Iceberg's incremental append scan, the read path of a downstream
+        consumer that materializes deltas instead of re-reading 100 TB.
+        Merges append only files of genuinely-new quads (MERGE dedups
+        against the live set), so under the store's single-writer linear
+        history the union of their added files IS the delta.  Compaction
+        (rewrites, no new logical rows) and rollback (changes visibility,
+        appends nothing) contribute nothing by construction.  Raises when
+        the range needs a delta whose parent manifest was expired — the
+        history to answer is gone, a silent partial delta would be
+        worse."""
+        by_n = {s["snapshot"]: s for s in self.snapshots()}
+        if until is None:
+            until = self.current_snapshot()
+            if until is None:
+                return self._read_files(spark, [])
+        files: list[str] = []
+        for n in sorted(by_n):
+            if not (since < n <= until):
+                continue
+            s = by_n[n]
+            if s["op"] not in ("merge", "bootstrap"):
+                continue
+            parent = s["parent"]
+            if parent is None:
+                files.extend(s["files"])
+                continue
+            if parent not in by_n:
+                raise ValueError(
+                    f"cannot compute the delta of snapshot {n}: its parent "
+                    f"{parent} was expired — incremental history starts later"
+                )
+            files.extend(sorted(set(s["files"]) - set(by_n[parent]["files"])))
+        return self._read_files(spark, files)
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         if not Path(self.lineage_dir).exists():
             return spark.createDataFrame([], LINEAGE_SCHEMA)

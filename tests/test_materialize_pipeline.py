@@ -415,3 +415,63 @@ def test_graph_as_of_timestamp_time_travel(spark, tmp_path):
         store.snapshot_as_of(snaps[0]["committed_at"] - 1.0)
     with pytest.raises(ValueError, match="not both"):
         store.graph(spark, snapshot=0, as_of=t_first)
+
+
+def test_files_df_rollback_and_incremental_scan(spark, tmp_path):
+    """The maintenance/CDC surface: files_df is the Iceberg-style
+    ``table.files`` (footer row counts, byte sizes, snapshot-pinned),
+    rollback is one more crash-safe commit that restores an old file
+    list, and added_quads is the incremental append scan — merge deltas
+    only, compaction-invariant, refusing expired history."""
+    from rio_spark.operators.materialize import GraphStore
+
+    def batch(i, n):
+        return spark.createDataFrame(
+            [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(n)],
+            "subject string, predicate string, object string, graph string",
+        )
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    store.merge(spark, batch(0, 8))
+    snap0 = store.current_snapshot()
+    store.merge(spark, batch(1, 5))
+
+    # files_df: footer row counts sum to the live quad count, per snapshot
+    fd = store.files_df(spark).toPandas()
+    assert fd["rows"].sum() == 13 and (fd["bytes"] > 0).all()
+    assert set(fd["bucket"]) <= {0, 1}
+    assert sorted(fd["file"]) == store._live_files()
+    assert store.files_df(spark, snapshot=snap0).toPandas()["rows"].sum() == 8
+
+    # incremental scan: (snap0, current] is exactly the second batch;
+    # compaction rewrites files but adds no quads to the delta
+    def added_subjects(since):
+        return sorted(
+            r["subject"] for r in store.added_quads(spark, since).collect()
+        )
+    b1_subjects = sorted(f"<http://e/s1_{j}>" for j in range(5))
+    assert added_subjects(snap0) == b1_subjects
+    store.compact(spark, min_files=2, target_rows_per_file=10_000)
+    assert added_subjects(snap0) == b1_subjects
+    store.merge(spark, batch(2, 3))
+    assert len(added_subjects(snap0)) == 8  # b1 + b2
+    assert store.added_quads(spark, store.current_snapshot()).count() == 0
+    assert len(added_subjects(-1)) == 13 + 3  # full history from before init
+
+    # rollback: CURRENT flips to snap0's file list via a NEW commit;
+    # history stays readable and a re-merge dedups against the rolled-back
+    # live set (so the rolled-back-over quads genuinely re-add)
+    store.rollback(snap0)
+    assert store.graph(spark).count() == 8
+    cur = {r["snapshot"]: r for r in store.snapshots_df(spark).collect()}
+    current_row = [r for r in cur.values() if r["is_current"]][0]
+    assert current_row["op"] == "rollback"
+    assert store.graph(spark, snapshot=snap0 + 1).count() == 13  # history intact
+    assert store.merge(spark, batch(1, 5)) == 5
+
+    with pytest.raises(ValueError):
+        store.rollback(9999)
+    # expiry cuts incremental history: deltas needing an expired parent fail
+    store.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        store.added_quads(spark, -1)
