@@ -475,3 +475,37 @@ def test_files_df_rollback_and_incremental_scan(spark, tmp_path):
     store.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         store.added_quads(spark, -1)
+
+
+def test_store_maintenance_cli(spark, tmp_path, monkeypatch, capsys):
+    """The maintenance CLI is a thin JSON-emitting wrapper over the tested
+    store methods: every subcommand runs against a real store in-process
+    and prints one parseable line."""
+    import json as _json
+
+    from jobs.store_maintenance import main as maint_main
+    from rio_spark.operators.materialize import GraphStore
+
+    root = str(tmp_path / "store")
+    store = GraphStore(root, n_buckets=2)
+    for i in range(3):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(4)],
+            "subject string, predicate string, object string, graph string",
+        ))
+    snap0 = [s["snapshot"] for s in store.snapshots() if s["op"] == "merge"][0]
+
+    def run(*argv):
+        monkeypatch.setattr("sys.argv", ["store_maintenance.py", *argv])
+        assert maint_main() == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert len(run("snapshots", "--store", root)["snapshots"]) == 4
+    files = run("files", "--store", root)
+    assert files["rows"] == 12 and files["n_files"] >= 2
+    assert run("delta", "--store", root, "--since", str(snap0))["quads_added"] == 8
+    compacted = run("compact", "--store", root, "--min-files", "2")
+    assert compacted["buckets_rewritten"]
+    rb = run("rollback", "--store", root, "--to", str(snap0))
+    assert store.graph(spark).count() == 4 and rb["new_snapshot"] > snap0
+    assert run("expire", "--store", root, "--keep-last", "1")["data_files_deleted"] > 0
