@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("command", choices=[
-        "snapshots", "files", "compact", "expire", "rollback", "delta"])
+        "snapshots", "files", "compact", "expire", "rollback", "delta",
+        "tag", "drop-tag"])
     ap.add_argument("--store", required=True, help="graph store root directory")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--min-files", type=int, default=8, help="compact threshold")
@@ -40,6 +41,9 @@ def main() -> int:
     ap.add_argument("--since", type=int, help="delta: exclusive lower snapshot bound")
     ap.add_argument("--until", type=int, default=None,
                     help="delta: inclusive upper bound (default CURRENT)")
+    ap.add_argument("--name", help="tag/drop-tag: ref name")
+    ap.add_argument("--at", type=int, default=None,
+                    help="tag: snapshot to pin (default CURRENT)")
     args = ap.parse_args()
 
     from rio_spark.operators.materialize import GraphStore
@@ -77,6 +81,18 @@ def main() -> int:
         n = store.rollback(args.to)
         print(json.dumps({"command": "rollback", "store": args.store,
                           "to": args.to, "new_snapshot": n}))
+    elif args.command == "tag":
+        if not args.name:
+            ap.error("tag needs --name")
+        n = store.create_tag(args.name, args.at)
+        print(json.dumps({"command": "tag", "store": args.store,
+                          "name": args.name, "snapshot": n}))
+    elif args.command == "drop-tag":
+        if not args.name:
+            ap.error("drop-tag needs --name")
+        store.drop_tag(args.name)
+        print(json.dumps({"command": "drop-tag", "store": args.store,
+                          "name": args.name}))
     elif args.command == "delta":
         if args.since is None:
             ap.error("delta needs --since <snapshot>")

@@ -253,17 +253,60 @@ class GraphStore:
         return spark.read.option("basePath", self.graph_dir).parquet(*paths)
 
     def graph(self, spark: SparkSession, snapshot: int | None = None,
-              as_of: float | None = None) -> DataFrame:
+              as_of: float | None = None, tag: str | None = None) -> DataFrame:
         """The quad set of ``snapshot`` (default: the live snapshot) —
         snapshot-isolated: exactly the pinned manifest's files are read, so
         concurrent merges/compactions are invisible. ``snapshot=<n>`` is
         time travel to any unexpired snapshot; ``as_of=<unix ts>`` is the
-        ``TIMESTAMP AS OF`` form, resolved via :meth:`snapshot_as_of`."""
+        ``TIMESTAMP AS OF`` form, resolved via :meth:`snapshot_as_of`;
+        ``tag=<name>`` reads a named ref (:meth:`create_tag`)."""
+        if sum(x is not None for x in (snapshot, as_of, tag)) > 1:
+            raise ValueError("pass at most one of snapshot, as_of, tag")
         if as_of is not None:
-            if snapshot is not None:
-                raise ValueError("pass either snapshot or as_of, not both")
             snapshot = self.snapshot_as_of(as_of)
+        if tag is not None:
+            tags = self.tags()
+            if tag not in tags:
+                raise ValueError(f"unknown tag {tag!r}; have {sorted(tags)}")
+            snapshot = tags[tag]
         return self._read_files(spark, self._live_files(snapshot))
+
+    # -- named refs -----------------------------------------------------------
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tags): {name: snapshot}.  A tagged
+        snapshot — and every data file it references — survives
+        :meth:`expire_snapshots` until the tag is dropped, which is how a
+        published dataset version (a training-corpus release, an audit
+        point) is pinned while routine expiry GCs the rest."""
+        p = self.manifests_dir / "tags.json"
+        if not p.exists():
+            return {}
+        return {k: int(v) for k, v in json.loads(p.read_text()).items()}
+
+    def create_tag(self, name: str, snapshot: int | None = None) -> int:
+        """Tag ``snapshot`` (default CURRENT) as ``name``.  Refuses an
+        existing name (drop it first — re-pointing a published ref should
+        be loud) and an unknown/expired snapshot.  Durable like a commit:
+        the tags file is published with the same fsync+rename protocol."""
+        tags = self.tags()
+        if name in tags:
+            raise ValueError(f"tag {name!r} already points at {tags[name]}")
+        if snapshot is None:
+            snapshot = self.current_snapshot()
+            if snapshot is None:
+                raise ValueError("empty store: nothing to tag")
+        self._read_manifest(snapshot)  # raises for unknown/expired
+        tags[name] = snapshot
+        self._durable_write(self.manifests_dir / "tags.json", json.dumps(tags))
+        return snapshot
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r}")
+        del tags[name]
+        self._durable_write(self.manifests_dir / "tags.json", json.dumps(tags))
 
     def snapshot_as_of(self, ts: float) -> int:
         """The newest snapshot committed at or before unix time ``ts`` —
@@ -290,6 +333,9 @@ class GraphStore:
         snaps = self.snapshots()
         by_n = {s["snapshot"]: set(s["files"]) for s in snaps}
         cur = self.current_snapshot()
+        tags_of: dict[int, list[str]] = {}
+        for name, n in sorted(self.tags().items()):
+            tags_of.setdefault(n, []).append(name)
         root = Path(self.graph_dir)
         rows = []
         for s in snaps:
@@ -306,12 +352,13 @@ class GraphStore:
                     b is not None for b in sizes) else None,
                 len(files - parent_files), len(parent_files - files),
                 s["snapshot"] == cur,
+                tags_of.get(s["snapshot"], []),
             ))
         return spark.createDataFrame(
             rows,
             "snapshot int, parent int, op string, committed_at double, "
             "n_files int, bytes long, added_files int, removed_files int, "
-            "is_current boolean",
+            "is_current boolean, tags array<string>",
         )
 
     def files_df(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
@@ -531,7 +578,10 @@ class GraphStore:
         if not snaps:
             return 0
         cur = self.current_snapshot()
-        keep = {s["snapshot"] for s in snaps[-keep_last:]} | {cur}
+        # tagged snapshots are pinned: a named ref (training-corpus release,
+        # audit point) must outlive routine expiry until the tag is dropped
+        keep = ({s["snapshot"] for s in snaps[-keep_last:]} | {cur}
+                | set(self.tags().values()))
         referenced: set[str] = set()
         for s in snaps:
             if s["snapshot"] in keep:

@@ -509,3 +509,48 @@ def test_store_maintenance_cli(spark, tmp_path, monkeypatch, capsys):
     rb = run("rollback", "--store", root, "--to", str(snap0))
     assert store.graph(spark).count() == 4 and rb["new_snapshot"] > snap0
     assert run("expire", "--store", root, "--keep-last", "1")["data_files_deleted"] > 0
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """Tags are named, expiry-protected snapshot refs: graph(tag=) reads
+    the pinned version, expire keeps a tagged snapshot and all its files
+    while sweeping untagged history, and dropping the tag releases it."""
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    for i in range(3):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://e/s{i}_{j}>", "<http://p/x>", f'"{j}"', None) for j in range(4)],
+            "subject string, predicate string, object string, graph string",
+        ))
+    merges = [s["snapshot"] for s in store.snapshots() if s["op"] == "merge"]
+
+    assert store.create_tag("v1", merges[0]) == merges[0]
+    store.create_tag("latest")  # defaults to CURRENT
+    assert store.tags() == {"v1": merges[0], "latest": merges[-1]}
+    assert store.graph(spark, tag="v1").count() == 4
+
+    with pytest.raises(ValueError, match="already points"):
+        store.create_tag("v1", merges[1])
+    with pytest.raises(ValueError, match="unknown tag"):
+        store.graph(spark, tag="nope").count()
+    with pytest.raises(ValueError, match="at most one"):
+        store.graph(spark, snapshot=merges[0], tag="v1")
+
+    # snapshots_df carries the refs
+    sd = {r["snapshot"]: r["tags"] for r in store.snapshots_df(spark).collect()}
+    assert sd[merges[0]] == ["v1"] and sd[merges[-1]] == ["latest"]
+
+    # expiry keeps the tagged snapshot and its files; untagged middle goes
+    store.expire_snapshots(keep_last=1)
+    kept = {s["snapshot"] for s in store.snapshots()}
+    assert merges[0] in kept and merges[1] not in kept
+    assert store.graph(spark, tag="v1").count() == 4  # files intact
+
+    # dropping the tag releases it to the next expiry
+    store.drop_tag("v1")
+    with pytest.raises(ValueError, match="unknown tag"):
+        store.drop_tag("v1")
+    store.expire_snapshots(keep_last=1)
+    assert merges[0] not in {s["snapshot"] for s in store.snapshots()}
+    assert store.graph(spark).count() == 12  # live untouched throughout
