@@ -65,6 +65,14 @@ _EMPTY_GRAPH_SCHEMA = (
 )
 
 
+_UNCHECKED = object()  # _commit sentinel: "caller did not capture a base"
+
+
+class CommitConflict(RuntimeError):
+    """CURRENT moved between a writer reading its base snapshot and
+    committing — the single-writer contract was broken (see _commit)."""
+
+
 class GraphStore:
     def __init__(self, root: str, n_buckets: int = 64):
         self.root = Path(root)
@@ -137,10 +145,28 @@ class GraphStore:
             return []
         return self._read_manifest(n)["files"]
 
-    def _commit(self, files: set[str], op: str) -> int:
+    def _commit(self, files: set[str], op: str,
+                expect_parent: int | None | object = _UNCHECKED) -> int:
         """Write manifest-(n+1) then atomically flip CURRENT. Numbering is
         max-on-disk + 1 (not CURRENT + 1), so a crashed commit that left an
-        un-flipped manifest can never collide."""
+        un-flipped manifest can never collide.
+
+        ``expect_parent`` is the optimistic-concurrency tripwire (Iceberg's
+        base-snapshot validation): a writer passes the snapshot it PLANNED
+        against, and the commit refuses if CURRENT moved meanwhile —
+        otherwise the late flip would silently orphan the interleaved
+        writer's committed rows.  This DETECTS the documented single-writer
+        contract being broken; it does not serialize writers (the
+        check-then-flip window remains — true multi-writer needs a
+        catalog CAS, which is the Iceberg-runtime path)."""
+        if expect_parent is not _UNCHECKED:
+            cur = self.current_snapshot()
+            if cur != expect_parent:
+                raise CommitConflict(
+                    f"concurrent commit detected: planned against snapshot "
+                    f"{expect_parent} but CURRENT is now {cur}; re-read and "
+                    "retry the operation"
+                )
         self.manifests_dir.mkdir(parents=True, exist_ok=True)
         nums = [
             int(_MANIFEST_RE.match(p.name).group(1))
@@ -396,8 +422,9 @@ class GraphStore:
         survived expiry always has all its data files on disk (expiry
         deletes a manifest and its exclusively-referenced files
         together)."""
+        base = self.current_snapshot()
         target = self._read_manifest(to_snapshot)
-        return self._commit(set(target["files"]), "rollback")
+        return self._commit(set(target["files"]), "rollback", expect_parent=base)
 
     def added_quads(
         self, spark: SparkSession, since: int, until: int | None = None
@@ -472,7 +499,8 @@ class GraphStore:
         batch = self._bucketed(triples).dropDuplicates(
             ["subject", "predicate", "object", "graph"]
         )
-        live = self._live_files()
+        base = self.current_snapshot()  # the snapshot this merge plans against
+        live = self._live_files(base)
         if not live:
             new_rows = batch
         else:
@@ -502,7 +530,7 @@ class GraphStore:
             before = self._list_data_files()
             new_rows.write.mode("append").partitionBy("p_bucket").parquet(self.graph_dir)
             added = self._list_data_files() - before
-            self._commit(set(live) | added, "merge")
+            self._commit(set(live) | added, "merge", expect_parent=base)
         new_rows.unpersist()
         return n
 
@@ -541,7 +569,8 @@ class GraphStore:
         from collections import defaultdict
 
         self._bootstrap_if_legacy()
-        live = self._live_files()
+        base = self.current_snapshot()
+        live = self._live_files(base)
         per_bucket: dict[str, list[str]] = defaultdict(list)
         for f in live:
             per_bucket[f.split("/", 1)[0]].append(f)
@@ -564,7 +593,7 @@ class GraphStore:
             changed = True
             report[bucket] = (len(bfiles), len(added))
         if changed:
-            self._commit(files, "compact")
+            self._commit(files, "compact", expect_parent=base)
         return report
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

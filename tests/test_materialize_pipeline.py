@@ -413,7 +413,7 @@ def test_graph_as_of_timestamp_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no snapshot committed"):
         store.snapshot_as_of(snaps[0]["committed_at"] - 1.0)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         store.graph(spark, snapshot=0, as_of=t_first)
 
 
@@ -554,3 +554,33 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
     store.expire_snapshots(keep_last=1)
     assert merges[0] not in {s["snapshot"] for s in store.snapshots()}
     assert store.graph(spark).count() == 12  # live untouched throughout
+
+
+def test_commit_conflict_tripwire(spark, tmp_path):
+    """A commit planned against a base snapshot refuses to flip CURRENT if
+    another writer committed meanwhile (optimistic-concurrency detection);
+    sequential writers through separate handles never trip it."""
+    from rio_spark.operators.materialize import CommitConflict, GraphStore
+
+    root = str(tmp_path / "store")
+    a, b = GraphStore(root, n_buckets=2), GraphStore(root, n_buckets=2)
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"<http://e/s{i}>", "<http://p/x>", '"v"', None)],
+            "subject string, predicate string, object string, graph string",
+        )
+
+    assert a.merge(spark, batch(0)) == 1
+    assert b.merge(spark, batch(1)) == 1  # sequential handles: no conflict
+
+    # writer A plans against CURRENT, writer B commits in between -> A must
+    # refuse (its file list would silently drop B's rows)
+    base = a.current_snapshot()
+    files_planned = set(a._live_files(base))
+    assert b.merge(spark, batch(2)) == 1
+    with pytest.raises(CommitConflict, match="planned against"):
+        a._commit(files_planned, "merge", expect_parent=base)
+    # B's row survived and the store is still consistent
+    assert a.graph(spark).count() == 3
+    assert a.merge(spark, batch(3)) == 1  # fresh read plans cleanly
