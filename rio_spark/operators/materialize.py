@@ -146,7 +146,8 @@ class GraphStore:
         return self._read_manifest(n)["files"]
 
     def _commit(self, files: set[str], op: str,
-                expect_parent: int | None | object = _UNCHECKED) -> int:
+                expect_parent: int | None | object = _UNCHECKED,
+                bounds: dict[str, list] | None = None) -> int:
         """Write manifest-(n+1) then atomically flip CURRENT. Numbering is
         max-on-disk + 1 (not CURRENT + 1), so a crashed commit that left an
         un-flipped manifest can never collide.
@@ -182,6 +183,13 @@ class GraphStore:
             "n_files": len(files),
             "committed_at": time.time(),
         }
+        if bounds is not None:
+            # per-file [min, max] subject bounds (Iceberg manifest column
+            # bounds): lets merge skip files whose range cannot contain a
+            # batch subject. Absent for files whose stats weren't captured
+            # (legacy/bootstrap) — skipping degrades gracefully to
+            # bucket-level pruning for those.
+            manifest["bounds"] = {f: bounds[f] for f in files if f in bounds}
         # durable-before-visible (r5 ADVICE): the manifest must be ON DISK —
         # tmp + rename + fsync of file AND directory — before CURRENT can
         # name it, else a power loss could persist the CURRENT flip around a
@@ -424,7 +432,8 @@ class GraphStore:
         together)."""
         base = self.current_snapshot()
         target = self._read_manifest(to_snapshot)
-        return self._commit(set(target["files"]), "rollback", expect_parent=base)
+        return self._commit(set(target["files"]), "rollback", expect_parent=base,
+                            bounds=target.get("bounds", {}))
 
     def added_quads(
         self, spark: SparkSession, since: int, until: int | None = None
@@ -487,28 +496,82 @@ class GraphStore:
             F.pmod(F.xxhash64("subject"), F.lit(self.n_buckets)).cast("int").alias("p_bucket"),
         )
 
+    def _file_bounds(self, files) -> dict[str, list]:
+        """[min, max] of the ``subject`` column per file, read from parquet
+        footer statistics (no data pages).  Files without usable stats are
+        simply absent — pruning then falls back to bucket-level for them.
+        Parquet writers may truncate string stats, but the spec requires a
+        truncated max to still be >= every value (and min <= every value),
+        so an overlap test against these bounds can over-include, never
+        wrongly exclude."""
+        import pyarrow.parquet as pq
+
+        root = Path(self.graph_dir)
+        out: dict[str, list] = {}
+        for f in files:
+            md = pq.ParquetFile(root / f).metadata
+            idx = next(
+                (i for i in range(md.num_columns)
+                 if md.row_group(0).column(i).path_in_schema == "subject"),
+                None,
+            ) if md.num_row_groups else None
+            if idx is None:
+                continue
+            lo = hi = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                out[f] = [lo, hi]
+        return out
+
+    @staticmethod
+    def _may_contain(bounds: list | None, lo: str, hi: str) -> bool:
+        """Can a file with subject ``bounds`` hold a subject in [lo, hi]?
+        Unknown bounds -> must be scanned."""
+        return bounds is None or (bounds[0] <= hi and bounds[1] >= lo)
+
     def merge(self, spark: SparkSession, triples: DataFrame) -> int:
         """MERGE semantics: insert quads not already present. Returns rows
         added. The anti-join reads only the live FILES of the buckets the
-        incoming batch touches (file-level pruning straight from the
-        manifest — no directory listing, no partition discovery), so merge
-        cost scales with batch size, not table size. The append + manifest
-        flip is the Iceberg commit: a crash anywhere leaves the previous
-        snapshot live and at most orphan files for expiry."""
+        incoming batch touches, further skipping files whose manifest
+        subject bounds cannot overlap the batch (zone-map file skipping —
+        no directory listing, no partition discovery, no footer reads on
+        the read path), so merge cost scales with batch size, not table
+        size. The append + manifest flip is the Iceberg commit: a crash
+        anywhere leaves the previous snapshot live and at most orphan
+        files for expiry."""
         self._bootstrap_if_legacy()
         batch = self._bucketed(triples).dropDuplicates(
             ["subject", "predicate", "object", "graph"]
         )
         base = self.current_snapshot()  # the snapshot this merge plans against
         live = self._live_files(base)
+        known_bounds = (
+            self._read_manifest(base).get("bounds", {}) if base is not None else {}
+        )
         if not live:
             new_rows = batch
         else:
-            buckets = {
-                f"p_bucket={r['p_bucket']}"
-                for r in batch.select("p_bucket").distinct().collect()
+            # bucket-level prune (which buckets the batch touches) PLUS
+            # file-level skip inside each bucket via the manifest's subject
+            # bounds — both from one bounded driver-side agg of the batch
+            batch_bounds = {
+                f"p_bucket={r['p_bucket']}": (r["lo"], r["hi"])
+                for r in batch.groupBy("p_bucket").agg(
+                    F.min("subject").alias("lo"), F.max("subject").alias("hi")
+                ).collect()
             }
-            scoped_files = [f for f in live if f.split("/", 1)[0] in buckets]
+            scoped_files = [
+                f for f in live
+                if (bb := batch_bounds.get(f.split("/", 1)[0])) is not None
+                and self._may_contain(known_bounds.get(f), bb[0], bb[1])
+            ]
             scoped = (
                 self._read_files(spark, scoped_files)
                 .select("subject", "predicate", "object", "graph")
@@ -530,7 +593,10 @@ class GraphStore:
             before = self._list_data_files()
             new_rows.write.mode("append").partitionBy("p_bucket").parquet(self.graph_dir)
             added = self._list_data_files() - before
-            self._commit(set(live) | added, "merge", expect_parent=base)
+            self._commit(
+                set(live) | added, "merge", expect_parent=base,
+                bounds={**known_bounds, **self._file_bounds(added)},
+            )
         new_rows.unpersist()
         return n
 
@@ -571,6 +637,9 @@ class GraphStore:
         self._bootstrap_if_legacy()
         base = self.current_snapshot()
         live = self._live_files(base)
+        bounds = dict(
+            self._read_manifest(base).get("bounds", {}) if base is not None else {}
+        )
         per_bucket: dict[str, list[str]] = defaultdict(list)
         for f in live:
             per_bucket[f.split("/", 1)[0]].append(f)
@@ -590,10 +659,13 @@ class GraphStore:
             ).parquet(self.graph_dir)
             added = self._list_data_files() - before
             files = (files - set(bfiles)) | added
+            for f in bfiles:
+                bounds.pop(f, None)
+            bounds.update(self._file_bounds(added))
             changed = True
             report[bucket] = (len(bfiles), len(added))
         if changed:
-            self._commit(files, "compact", expect_parent=base)
+            self._commit(files, "compact", expect_parent=base, bounds=bounds)
         return report
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

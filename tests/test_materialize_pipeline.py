@@ -584,3 +584,61 @@ def test_commit_conflict_tripwire(spark, tmp_path):
     # B's row survived and the store is still consistent
     assert a.graph(spark).count() == 3
     assert a.merge(spark, batch(3)) == 1  # fresh read plans cleanly
+
+
+def test_merge_skips_files_via_manifest_subject_bounds(spark, tmp_path, monkeypatch):
+    """Manifest column bounds give file-level skipping WITHIN a bucket: a
+    merge's anti-join never reads live files whose [min,max] subject range
+    cannot overlap the batch, dedup stays exact across the pruned scan,
+    and compaction/rollback carry the bounds forward."""
+    from rio_spark.operators.materialize import GraphStore
+
+    def batch(prefix, n=6):
+        return spark.createDataFrame(
+            [(f"<http://{prefix}/s{j}>", "<http://p/x>", f'"{j}"', None) for j in range(n)],
+            "subject string, predicate string, object string, graph string",
+        )
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=1)  # one bucket: only
+    store.merge(spark, batch("aaa"))                          # bounds can prune
+    store.merge(spark, batch("zzz"))
+    m = store._read_manifest(store.current_snapshot())
+    assert set(m["bounds"]) == set(m["files"])  # every live file has bounds
+
+    scanned: list[list[str]] = []
+    real = GraphStore._read_files
+
+    def spy(self, spark_, files):
+        scanned.append(list(files))
+        return real(self, spark_, files)
+
+    monkeypatch.setattr(GraphStore, "_read_files", spy)
+
+    # batch inside the aaa range: the zzz files must be skipped, dedup exact
+    dup_and_new = spark.createDataFrame(
+        [("<http://aaa/s0>", "<http://p/x>", '"0"', None),
+         ("<http://aaa/sNEW>", "<http://p/x>", '"n"', None)],
+        "subject string, predicate string, object string, graph string",
+    )
+    assert store.merge(spark, dup_and_new) == 1
+    anti_scan = scanned[0]
+    assert anti_scan
+    live_bounds = m["bounds"]
+    assert all(live_bounds[f][0] < "<http://b" for f in anti_scan if f in live_bounds), (
+        "a zzz-range file leaked into the pruned anti-join scan")
+
+    # out-of-range batch scans nothing at all (empty file list, still exact)
+    scanned.clear()
+    assert store.merge(spark, batch("mmm", 2)) == 2
+    assert scanned[0] == []
+
+    monkeypatch.undo()
+    # compaction recomputes bounds for rewritten files; dedup still exact
+    store.compact(spark, min_files=2, target_rows_per_file=10_000)
+    m2 = store._read_manifest(store.current_snapshot())
+    assert set(m2["bounds"]) == set(m2["files"])
+    assert store.merge(spark, batch("zzz")) == 0  # all dups found post-compact
+    # rollback carries the target's bounds
+    store.rollback(store.current_snapshot() - 1)
+    m3 = store._read_manifest(store.current_snapshot())
+    assert m3["op"] == "rollback" and set(m3["bounds"]) == set(m3["files"])
