@@ -509,25 +509,34 @@ class GraphStore:
         root = Path(self.graph_dir)
         out: dict[str, list] = {}
         for f in files:
-            md = pq.ParquetFile(root / f).metadata
-            idx = next(
-                (i for i in range(md.num_columns)
-                 if md.row_group(0).column(i).path_in_schema == "subject"),
-                None,
-            ) if md.num_row_groups else None
-            if idx is None:
+            try:
+                md = pq.ParquetFile(root / f).metadata
+                idx = next(
+                    (i for i in range(md.num_columns)
+                     if md.row_group(0).column(i).path_in_schema == "subject"),
+                    None,
+                ) if md.num_row_groups else None
+                if idx is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    if not (isinstance(st.min, str) and isinstance(st.max, str)):
+                        ok = False  # undecodable/truncated-to-binary stats
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if ok and lo is not None:
+                    out[f] = [lo, hi]
+            except Exception:
+                # stats are an optimization: a file whose footer can't be
+                # read cleanly just gets no bounds (scanned every time),
+                # never a failed commit
                 continue
-            lo = hi = None
-            ok = True
-            for g in range(md.num_row_groups):
-                st = md.row_group(g).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            if ok and lo is not None:
-                out[f] = [lo, hi]
         return out
 
     @staticmethod
