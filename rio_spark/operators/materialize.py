@@ -39,7 +39,21 @@ are PURE (r4 ADVICE) and fully snapshot-isolated: ``graph()`` pins a
 manifest and reads exactly its file list, so a reader racing a live
 compaction or merge sees a consistent snapshot, never a partial bucket.
 Single-writer per store for the WRITE paths (merge/compact/expire), as with
-Iceberg's optimistic single-commit semantics.
+Iceberg's optimistic single-commit semantics — and commits carry
+base-snapshot validation (``CommitConflict``) so a broken contract is
+detected, not silently absorbed.  Snapshot management mirrors Iceberg's:
+time travel by snapshot / TIMESTAMP AS OF / tag, ``rollback``, expiry-
+protected tags, ``snapshots_df``/``files_df`` metadata tables, an
+incremental append scan (``added_quads``), and per-file subject bounds in
+the manifest for zone-map file skipping on MERGE.
+
+Known scaling delta vs real Iceberg, on purpose: each snapshot is ONE
+JSON manifest naming every live file — fine to ~10^5 files per store
+(with compaction keeping file counts near one per bucket), while Iceberg
+splits manifests per partition-spec region behind a manifest list to go
+beyond. At that point the answer is the Iceberg runtime (`MERGE INTO` +
+hidden partitioning), which this class's contract was shaped to swap
+into the moment the jar exists on the image.
 """
 
 from __future__ import annotations
