@@ -642,3 +642,36 @@ def test_merge_skips_files_via_manifest_subject_bounds(spark, tmp_path, monkeypa
     store.rollback(store.current_snapshot() - 1)
     m3 = store._read_manifest(store.current_snapshot())
     assert m3["op"] == "rollback" and set(m3["bounds"]) == set(m3["files"])
+
+
+def test_merge_into_pre_bounds_manifest_scans_all(spark, tmp_path):
+    """Backward compat: a manifest written before subject bounds existed
+    (no "bounds" key) degrades to bucket-level pruning — every live file
+    of the touched buckets is scanned and dedup stays exact."""
+    import json as _json
+
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=1)
+    store.merge(spark, spark.createDataFrame(
+        [("<http://aaa/s0>", "<http://p/x>", '"0"', None)],
+        "subject string, predicate string, object string, graph string",
+    ))
+    # strip the bounds key in place, as an old-format store would look
+    n = store.current_snapshot()
+    p = store.manifests_dir / f"manifest-{n}.json"
+    m = _json.loads(p.read_text())
+    del m["bounds"]
+    p.write_text(_json.dumps(m))
+
+    dup_and_new = spark.createDataFrame(
+        [("<http://aaa/s0>", "<http://p/x>", '"0"', None),
+         ("<http://zzz/s9>", "<http://p/x>", '"9"', None)],
+        "subject string, predicate string, object string, graph string",
+    )
+    assert store.merge(spark, dup_and_new) == 1  # dedup exact without bounds
+    assert store.graph(spark).count() == 2
+    # the new commit records bounds for files it added; the old file stays
+    # unbounded (absent from the dict) and is simply always scanned
+    m2 = store._read_manifest(store.current_snapshot())
+    assert set(m2["bounds"]) < set(m2["files"])
