@@ -30,7 +30,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("command", choices=[
         "snapshots", "files", "compact", "expire", "rollback", "delta",
-        "tag", "drop-tag"])
+        "tag", "drop-tag", "delete"])
     ap.add_argument("--store", required=True, help="graph store root directory")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--min-files", type=int, default=8, help="compact threshold")
@@ -44,6 +44,9 @@ def main() -> int:
     ap.add_argument("--name", help="tag/drop-tag: ref name")
     ap.add_argument("--at", type=int, default=None,
                     help="tag: snapshot to pin (default CURRENT)")
+    ap.add_argument("--where", help="delete: SQL predicate over "
+                    "subject/predicate/object/graph, e.g. "
+                    "\"subject = '<http://e/s1>'\"")
     args = ap.parse_args()
 
     from rio_spark.operators.materialize import GraphStore
@@ -81,6 +84,14 @@ def main() -> int:
         n = store.rollback(args.to)
         print(json.dumps({"command": "rollback", "store": args.store,
                           "to": args.to, "new_snapshot": n}))
+    elif args.command == "delete":
+        if not args.where:
+            ap.error("delete needs --where <sql predicate>")
+        from pyspark.sql import functions as F
+
+        n = store.delete_where(spark, F.expr(args.where))
+        print(json.dumps({"command": "delete", "store": args.store,
+                          "where": args.where, "quads_deleted": n}))
     elif args.command == "tag":
         if not args.name:
             ap.error("tag needs --name")

@@ -691,6 +691,71 @@ class GraphStore:
             self._commit(files, "compact", expect_parent=base, bounds=bounds)
         return report
 
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Copy-on-write DELETE (Iceberg's delete-with-rewrite): drop every
+        live quad matching ``condition`` (a Column over subject/predicate/
+        object/graph/p_bucket) and commit the result as a new snapshot.
+        Returns the number of quads deleted.
+
+        Two passes: one filter-pushdown scan over the live set finds the
+        files that CONTAIN matches (parquet row-group stats prune it), then
+        only those files are rewritten without the matching rows and
+        swapped in one manifest commit (op ``delete``) — an entity
+        retraction rewrites one bucket's files, not the table.  Untouched
+        files are carried by reference; their bounds survive; rewritten
+        files get fresh bounds.  Rows where ``condition`` evaluates NULL
+        are KEPT (delete only what provably matches).
+
+        Retention caveat, stated because retraction is usually a LEGAL
+        erasure: the deleted quads remain readable via time travel until
+        ``expire_snapshots`` drops every snapshot that references the old
+        files — true physical erasure is delete_where + expiry."""
+        self._bootstrap_if_legacy()
+        base = self.current_snapshot()
+        live = self._live_files(base)
+        if not live:
+            return 0
+        root = str(Path(self.graph_dir).resolve())
+        df = self._read_files(spark, live).withColumn(
+            "__file", F.input_file_name()
+        )
+        touched_abs = {
+            r["__file"] for r in
+            df.filter(condition).select("__file").distinct().collect()
+        }
+        if not touched_abs:
+            return 0
+
+        def rel(uri: str) -> str:
+            p = uri.removeprefix("file://").removeprefix("file:")
+            return p[len(root) + 1:]
+
+        touched = sorted(rel(u) for u in touched_abs)
+        # null-safe negation: a NULL condition (e.g. graph == "<g>" on the
+        # default graph's NULL) must KEEP the row, not silently delete it
+        kept_rows = self._read_files(spark, touched).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
+        n_before = self._read_files(spark, touched).count()
+        n_after = kept_rows.count()
+        before_disk = self._list_data_files()
+        if n_after:
+            kept_rows.write.mode("append").partitionBy("p_bucket").parquet(
+                self.graph_dir
+            )
+        added = self._list_data_files() - before_disk
+        bounds = dict(
+            self._read_manifest(base).get("bounds", {}) if base is not None else {}
+        )
+        for f in touched:
+            bounds.pop(f, None)
+        bounds.update(self._file_bounds(added))
+        self._commit(
+            (set(live) - set(touched)) | added, "delete",
+            expect_parent=base, bounds=bounds,
+        )
+        return n_before - n_after
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshots and delete every
         data file no kept snapshot references — including orphans from

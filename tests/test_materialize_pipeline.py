@@ -675,3 +675,53 @@ def test_merge_into_pre_bounds_manifest_scans_all(spark, tmp_path):
     # unbounded (absent from the dict) and is simply always scanned
     m2 = store._read_manifest(store.current_snapshot())
     assert set(m2["bounds"]) < set(m2["files"])
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """delete_where rewrites only the files containing matches, keeps
+    every non-matching quad (including NULL-condition rows), leaves the
+    old snapshot time-travelable until expiry, and records fresh bounds
+    for the rewritten files."""
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    store.merge(spark, spark.createDataFrame(
+        [(f"<http://aaa/s{j}>", "<http://p/x>", f'"{j}"', None) for j in range(6)]
+        + [(f"<http://zzz/s{j}>", "<http://p/x>", f'"{j}"', "<http://g/1>") for j in range(4)],
+        "subject string, predicate string, object string, graph string",
+    ))
+    pre = store.current_snapshot()
+    pre_files = set(store._live_files(pre))
+
+    # retract one entity: only its file(s) rewrite, the rest carry over
+    n = store.delete_where(spark, F.col("subject") == "<http://aaa/s3>")
+    assert n == 1
+    assert store.graph(spark).count() == 9
+    subjects = {r["subject"] for r in store.graph(spark).collect()}
+    assert "<http://aaa/s3>" not in subjects and "<http://aaa/s2>" in subjects
+    m = store._read_manifest(store.current_snapshot())
+    assert m["op"] == "delete"
+    assert set(m["bounds"]) == set(m["files"])  # rewritten files re-bounded
+    assert pre_files & set(m["files"])  # untouched files carried by reference
+    assert store.graph(spark, snapshot=pre).count() == 10  # time travel intact
+
+    # graph-scoped delete: NULL graph rows must survive a graph == match
+    n = store.delete_where(spark, F.col("graph") == "<http://g/1>")
+    assert n == 4
+    assert store.graph(spark).count() == 5
+    assert {r["graph"] for r in store.graph(spark).collect()} == {None}
+
+    # no-match is a no-op commit-wise
+    cur = store.current_snapshot()
+    assert store.delete_where(spark, F.col("subject") == "<http://nope>") == 0
+    assert store.current_snapshot() == cur
+
+    # deleting everything leaves an empty live set, history still readable
+    assert store.delete_where(spark, F.lit(True)) == 5
+    assert store.graph(spark).count() == 0
+    assert store.graph(spark, snapshot=pre).count() == 10
+    # physical erasure = delete + expire
+    store.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="unknown or expired"):
+        store.graph(spark, snapshot=pre).count()
+    assert store._list_data_files() == set()

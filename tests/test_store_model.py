@@ -44,7 +44,8 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
     record()
 
     for step in range(10):
-        op = rng.choice(["merge", "merge", "merge", "compact", "rollback", "expire"])
+        op = rng.choice(["merge", "merge", "merge", "compact", "rollback",
+                         "expire", "delete"])
         if op == "merge":
             batch = rng.sample(UNIVERSE, rng.randint(1, 6))
             merged = store.merge(spark, spark.createDataFrame(batch, QUAD_SCHEMA))
@@ -59,6 +60,15 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
             target = rng.choice(sorted(by_snapshot))
             store.rollback(target)
             live = set(by_snapshot[target])
+            record()
+        elif op == "delete":
+            from pyspark.sql import functions as F
+
+            subj = rng.choice(UNIVERSE)[0]
+            n = store.delete_where(spark, F.col("subject") == subj)
+            gone = {q for q in live if q[0] == subj}
+            assert n == len(gone), f"step {step}: delete count drifted"
+            live -= gone
             record()
         elif op == "expire":
             keep = rng.randint(1, 3)
