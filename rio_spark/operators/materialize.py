@@ -727,7 +727,12 @@ class GraphStore:
             return 0
 
         def rel(uri: str) -> str:
-            p = uri.removeprefix("file://").removeprefix("file:")
+            # input_file_name() yields a URI: strip the scheme and undo
+            # percent-encoding so exotic path characters still map back to
+            # the manifest's plain relative paths
+            from urllib.parse import unquote
+
+            p = unquote(uri.removeprefix("file://").removeprefix("file:"))
             return p[len(root) + 1:]
 
         touched = sorted(rel(u) for u in touched_abs)
