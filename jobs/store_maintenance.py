@@ -30,7 +30,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("command", choices=[
         "snapshots", "files", "compact", "expire", "rollback", "delta",
-        "tag", "drop-tag", "delete"])
+        "tag", "drop-tag", "delete", "refresh-view"])
     ap.add_argument("--store", required=True, help="graph store root directory")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--min-files", type=int, default=8, help="compact threshold")
@@ -47,6 +47,7 @@ def main() -> int:
     ap.add_argument("--where", help="delete: SQL predicate over "
                     "subject/predicate/object/graph, e.g. "
                     "\"subject = '<http://e/s1>'\"")
+    ap.add_argument("--state", help="refresh-view: the view's state directory")
     args = ap.parse_args()
 
     from rio_spark.operators.materialize import GraphStore
@@ -92,6 +93,14 @@ def main() -> int:
         n = store.delete_where(spark, F.expr(args.where))
         print(json.dumps({"command": "delete", "store": args.store,
                           "where": args.where, "quads_deleted": n}))
+    elif args.command == "refresh-view":
+        if not args.state:
+            ap.error("refresh-view needs --state <dir>")
+        from rio_spark.operators.incremental import IncrementalPredicateCounts
+
+        rep = IncrementalPredicateCounts(store, args.state).refresh(spark)
+        print(json.dumps({"command": "refresh-view", "store": args.store,
+                          "state": args.state, **rep}))
     elif args.command == "tag":
         if not args.name:
             ap.error("tag needs --name")

@@ -1,0 +1,84 @@
+"""The incremental predicate-count view must equal a from-scratch
+aggregation of the live graph after EVERY kind of store transition —
+streaming the delta for append-only ranges, falling back to one full
+recompute when the range contains delete/rollback, and treating
+compaction as the content-neutral commit it is."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rio_spark.operators.incremental import IncrementalPredicateCounts
+from rio_spark.operators.materialize import GraphStore
+
+
+def _truth(spark, store):
+    return {
+        r["predicate"]: r["n"]
+        for r in store.graph(spark).groupBy("predicate").agg(
+            F.count("*").alias("n")).collect()
+    }
+
+
+def _view(spark, inc):
+    return {r["predicate"]: r["n_quads"] for r in inc.view(spark).collect()}
+
+
+def test_incremental_view_tracks_every_store_transition(spark, tmp_path):
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    inc = IncrementalPredicateCounts(store, str(tmp_path / "view"))
+
+    def merge(pred, n, tag=""):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://e/{pred}{tag}_{j}>", f"<http://p/{pred}>", '"v"', None)
+             for j in range(n)],
+            "subject string, predicate string, object string, graph string",
+        ))
+
+    assert inc.view(spark).count() == 0  # pre-first-refresh: empty view
+    merge("a", 5)
+    merge("b", 3)
+    rep = inc.refresh(spark)
+    assert rep["mode"] == "full"  # first refresh has no cursor
+    assert _view(spark, inc) == _truth(spark, store)
+
+    # append-only range streams the delta
+    merge("a", 2, tag="x")
+    merge("c", 4)
+    rep = inc.refresh(spark)
+    assert rep["mode"] == "incremental"
+    assert _view(spark, inc) == _truth(spark, store) == {
+        "<http://p/a>": 7, "<http://p/b>": 3, "<http://p/c>": 4}
+
+    # already-current refresh is a no-op; so is one after a pure compact
+    assert inc.refresh(spark)["mode"] == "noop"
+    store.compact(spark, min_files=2, target_rows_per_file=10_000)
+    rep = inc.refresh(spark)
+    assert rep["mode"] == "incremental"  # compact commits, adds nothing
+    assert _view(spark, inc) == _truth(spark, store)
+
+    # a delete in the range forces the full-recompute fallback
+    store.delete_where(spark, F.col("predicate") == "<http://p/b>")
+    rep = inc.refresh(spark)
+    assert rep["mode"] == "full"
+    assert _view(spark, inc) == _truth(spark, store)
+    assert "<http://p/b>" not in _view(spark, inc)
+
+    # rollback likewise
+    store.rollback(store.current_snapshot() - 1)
+    rep = inc.refresh(spark)
+    assert rep["mode"] == "full"
+    assert _view(spark, inc) == _truth(spark, store)
+    assert _view(spark, inc)["<http://p/b>"] == 3  # resurrected by rollback
+
+    # expired history in the range likewise (delta would need gone parents)
+    merge("d", 2)
+    store.expire_snapshots(keep_last=1)
+    rep = inc.refresh(spark)
+    assert rep["mode"] == "full"
+    assert _view(spark, inc) == _truth(spark, store)
+
+    # exactly one view dir remains and the cursor names it
+    dirs = sorted(p.name for p in (tmp_path / "view").glob("view-*"))
+    assert dirs == [f"view-{inc.cursor()}"]
+    assert inc.cursor() == store.current_snapshot()
