@@ -54,21 +54,25 @@ def main() -> int:
     from rio_spark.session import get_spark
 
     store = GraphStore(args.store)
-    spark = get_spark(app_name=f"rio_store_{args.command}", cores=args.cores)
+
+    def spark():
+        # lazy: expire/rollback/tag/drop-tag are pure driver-side file ops
+        # and must not pay JVM startup (or allocate cluster executors)
+        return get_spark(app_name=f"rio_store_{args.command}", cores=args.cores)
 
     if args.command == "snapshots":
-        rows = [r.asDict() for r in store.snapshots_df(spark).collect()]
+        rows = [r.asDict() for r in store.snapshots_df(spark()).collect()]
         print(json.dumps({"command": "snapshots", "store": args.store,
                           "snapshots": rows}))
     elif args.command == "files":
-        rows = [r.asDict() for r in store.files_df(spark).collect()]
+        rows = [r.asDict() for r in store.files_df(spark()).collect()]
         print(json.dumps({"command": "files", "store": args.store,
                           "n_files": len(rows),
                           "bytes": sum(r["bytes"] for r in rows),
                           "rows": sum(r["rows"] for r in rows),
                           "files": rows}))
     elif args.command == "compact":
-        report = store.compact(spark, min_files=args.min_files,
+        report = store.compact(spark(), min_files=args.min_files,
                                target_rows_per_file=args.target_rows)
         print(json.dumps({"command": "compact", "store": args.store,
                           "buckets_rewritten": {
@@ -90,7 +94,7 @@ def main() -> int:
             ap.error("delete needs --where <sql predicate>")
         from pyspark.sql import functions as F
 
-        n = store.delete_where(spark, F.expr(args.where))
+        n = store.delete_where(spark(), F.expr(args.where))
         print(json.dumps({"command": "delete", "store": args.store,
                           "where": args.where, "quads_deleted": n}))
     elif args.command == "refresh-view":
@@ -98,7 +102,7 @@ def main() -> int:
             ap.error("refresh-view needs --state <dir>")
         from rio_spark.operators.incremental import IncrementalPredicateCounts
 
-        rep = IncrementalPredicateCounts(store, args.state).refresh(spark)
+        rep = IncrementalPredicateCounts(store, args.state).refresh(spark())
         print(json.dumps({"command": "refresh-view", "store": args.store,
                           "state": args.state, **rep}))
     elif args.command == "tag":
@@ -116,7 +120,7 @@ def main() -> int:
     elif args.command == "delta":
         if args.since is None:
             ap.error("delta needs --since <snapshot>")
-        n = store.added_quads(spark, args.since, args.until).count()
+        n = store.added_quads(spark(), args.since, args.until).count()
         print(json.dumps({"command": "delta", "store": args.store,
                           "since": args.since, "until": args.until,
                           "quads_added": n}))

@@ -67,8 +67,10 @@ class IncrementalPredicateCounts:
         if target is None or cur == target:
             return {"mode": "noop", "from": cur, "to": target, "rows": 0}
 
+        snaps = self.store.snapshots()  # read the manifest log ONCE
+        present = {s["snapshot"] for s in snaps}
         ops_in_range = {
-            s["op"] for s in self.store.snapshots()
+            s["op"] for s in snaps
             if (cur is None or s["snapshot"] > cur) and s["snapshot"] <= target
         }
         full = (
@@ -78,9 +80,9 @@ class IncrementalPredicateCounts:
             # raise — probe cheaply via the manifest log
             or any(
                 s["parent"] is not None
-                and s["parent"] not in {x["snapshot"] for x in self.store.snapshots()}
+                and s["parent"] not in present
                 and s["snapshot"] > cur
-                for s in self.store.snapshots()
+                for s in snaps
             )
         )
         if full:

@@ -388,6 +388,10 @@ class GraphStore:
         rows = []
         for s in snaps:
             files = by_n[s["snapshot"]]
+            # a parent expired out from under a tagged/kept snapshot: its
+            # file set is unknowable, so the deltas are null, not "added
+            # everything" (which a maintenance scheduler would act on)
+            parent_gone = s["parent"] is not None and s["parent"] not in by_n
             parent_files = by_n.get(s["parent"], set()) if s["parent"] is not None else set()
             sizes = [
                 (root / f).stat().st_size if (root / f).exists() else None
@@ -398,7 +402,8 @@ class GraphStore:
                 float(s["committed_at"]), s["n_files"],
                 sum(b for b in sizes if b is not None) if all(
                     b is not None for b in sizes) else None,
-                len(files - parent_files), len(parent_files - files),
+                None if parent_gone else len(files - parent_files),
+                None if parent_gone else len(parent_files - files),
                 s["snapshot"] == cur,
                 tags_of.get(s["snapshot"], []),
             ))
@@ -458,16 +463,31 @@ class GraphStore:
         Merges append only files of genuinely-new quads (MERGE dedups
         against the live set), so under the store's single-writer linear
         history the union of their added files IS the delta.  Compaction
-        (rewrites, no new logical rows) and rollback (changes visibility,
-        appends nothing) contribute nothing by construction.  Raises when
-        the range needs a delta whose parent manifest was expired — the
-        history to answer is gone, a silent partial delta would be
-        worse."""
+        (rewrites, no new logical rows) contributes nothing by
+        construction.  A range containing a ``rollback`` or ``delete``
+        commit is REFUSED (Iceberg's incremental scan does the same for
+        overwrite ranges): a rollback makes re-merged quads genuinely
+        re-append (double-counted delta) and a delete's retractions are
+        invisible to an append stream — a consumer must fall back to a
+        full read, as :class:`~rio_spark.operators.incremental.
+        IncrementalPredicateCounts` does.  Also raises when the range
+        needs a delta whose parent manifest was expired — the history to
+        answer is gone, a silent partial delta would be worse."""
         by_n = {s["snapshot"]: s for s in self.snapshots()}
         if until is None:
             until = self.current_snapshot()
             if until is None:
                 return self._read_files(spark, [])
+        bad_ops = {
+            n: by_n[n]["op"] for n in by_n
+            if since < n <= until and by_n[n]["op"] in ("rollback", "delete")
+        }
+        if bad_ops:
+            raise ValueError(
+                f"({since}, {until}] is not an append-only range — it "
+                f"contains {bad_ops}; the incremental delta is undefined, "
+                "re-read the snapshot instead"
+            )
         files: list[str] = []
         for n in sorted(by_n):
             if not (since < n <= until):
@@ -715,7 +735,10 @@ class GraphStore:
         live = self._live_files(base)
         if not live:
             return 0
-        root = str(Path(self.graph_dir).resolve())
+        # abspath, NOT resolve(): Hadoop qualifies paths against the cwd
+        # without following symlinks, so a resolved root would mismatch
+        # input_file_name() on any symlinked store path
+        root = os.path.abspath(self.graph_dir)
         df = self._read_files(spark, live).withColumn(
             "__file", F.input_file_name()
         )
@@ -736,6 +759,12 @@ class GraphStore:
             return p[len(root) + 1:]
 
         touched = sorted(rel(u) for u in touched_abs)
+        unknown = set(touched) - set(live)
+        if unknown:
+            raise RuntimeError(
+                f"delete_where could not map scanned files back to the "
+                f"manifest: {sorted(unknown)[:3]} — store path mismatch"
+            )
         # null-safe negation: a NULL condition (e.g. graph == "<g>" on the
         # default graph's NULL) must KEEP the row, not silently delete it
         kept_rows = self._read_files(spark, touched).filter(
@@ -768,6 +797,10 @@ class GraphStore:
         Returns the number of data files deleted.  Write-path maintenance
         (single-writer): running it concurrently with a live merge would
         sweep the merge's not-yet-committed files."""
+        if keep_last < 1:
+            # snaps[-0:] would slice the WHOLE list — a silent keep-everything
+            # no-op inverting the caller's "maximal cleanup" intent
+            raise ValueError("keep_last must be >= 1 (CURRENT is always kept)")
         snaps = self.snapshots()
         if not snaps:
             return 0

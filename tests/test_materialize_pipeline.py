@@ -471,6 +471,14 @@ def test_files_df_rollback_and_incremental_scan(spark, tmp_path):
 
     with pytest.raises(ValueError):
         store.rollback(9999)
+    # a range containing the rollback is not append-only: the re-merged
+    # quads would double-count, so the delta is refused outright
+    with pytest.raises(ValueError, match="append-only"):
+        store.added_quads(spark, snap0)
+    # keep_last=0 would silently keep everything (snaps[-0:] is the whole
+    # list) — refused loudly instead
+    with pytest.raises(ValueError, match="keep_last"):
+        store.expire_snapshots(keep_last=0)
     # expiry cuts incremental history: deltas needing an expired parent fail
     store.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
