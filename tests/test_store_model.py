@@ -36,6 +36,7 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
     store = GraphStore(str(tmp_path / f"store{seed}"), n_buckets=2)
     live: set = set()
     by_snapshot: dict[int, set] = {}
+    tags: dict[str, int] = {}
 
     def record():
         by_snapshot[store.current_snapshot()] = set(live)
@@ -45,7 +46,7 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
 
     for step in range(10):
         op = rng.choice(["merge", "merge", "merge", "compact", "rollback",
-                         "expire", "delete"])
+                         "expire", "delete", "tag"])
         if op == "merge":
             batch = rng.sample(UNIVERSE, rng.randint(1, 6))
             merged = store.merge(spark, spark.createDataFrame(batch, QUAD_SCHEMA))
@@ -70,6 +71,10 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
             assert n == len(gone), f"step {step}: delete count drifted"
             live -= gone
             record()
+        elif op == "tag":
+            target = rng.choice(sorted(by_snapshot))
+            store.create_tag(f"t{step}", target)
+            tags[f"t{step}"] = target
         elif op == "expire":
             keep = rng.randint(1, 3)
             store.expire_snapshots(keep_last=keep)
@@ -96,3 +101,8 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
     rows = {r["snapshot"] for r in store.snapshots_df(spark).collect()}
     assert rows == {s["snapshot"] for s in store.snapshots()}
     assert store.files_df(spark).toPandas()["rows"].sum() == len(live)
+    # every tag survived every expire and still reads its pinned set
+    assert store.tags() == tags
+    for name, n in tags.items():
+        assert _graph_set(spark, store, snapshot=n) == by_snapshot[n], (
+            f"tagged snapshot {n} ({name}) drifted or was swept")
