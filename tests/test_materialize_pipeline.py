@@ -733,3 +733,38 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown or expired"):
         store.graph(spark, snapshot=pre).count()
     assert store._list_data_files() == set()
+
+
+def test_merge_pruning_is_invisible_to_results(spark, tmp_path, monkeypatch):
+    """Differential: a store merging with zone-map file skipping must be
+    bit-identical (per-batch merge counts AND final quad set) to a control
+    store forced to scan every bucket file — pruning may only skip files
+    that provably cannot matter."""
+    import random
+
+    from rio_spark.operators.materialize import GraphStore
+
+    rng = random.Random(11)
+    universe = [
+        (f"<http://{p}/s{i}>", "<http://p/x>", f'"{v}"', None)
+        for p in ("aaa", "mmm", "zzz") for i in range(6) for v in range(2)
+    ]
+    pruned = GraphStore(str(tmp_path / "pruned"), n_buckets=2)
+    control = GraphStore(str(tmp_path / "control"), n_buckets=2)
+
+    for step in range(6):
+        batch = spark.createDataFrame(
+            rng.sample(universe, rng.randint(2, 8)),
+            "subject string, predicate string, object string, graph string",
+        )
+        n1 = pruned.merge(spark, batch)
+        with monkeypatch.context() as m:
+            m.setattr(GraphStore, "_may_contain",
+                      staticmethod(lambda bounds, lo, hi: True))
+            n2 = control.merge(spark, batch)
+        assert n1 == n2, f"step {step}: merge counts diverged"
+
+    key = ["subject", "predicate", "object", "graph"]
+    a = set(map(tuple, pruned.graph(spark).select(key).collect()))
+    b = set(map(tuple, control.graph(spark).select(key).collect()))
+    assert a == b
