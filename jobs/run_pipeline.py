@@ -42,6 +42,12 @@ def main() -> None:
                     help="after committing, compact buckets with many small "
                          "files (maintenance window: see GraphStore.compact)")
     ap.add_argument("--compact-min-files", type=int, default=8)
+    ap.add_argument("--tag", help="after committing, pin the resulting store "
+                    "snapshot under this name (a published dataset version "
+                    "survives expiry until the tag is dropped)")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="after committing (and compacting/tagging), expire "
+                         "all but the newest N snapshots and GC their files")
     args = ap.parse_args()
 
     from rio_spark.session import get_spark
@@ -75,6 +81,12 @@ def main() -> None:
                 spark, min_files=args.compact_min_files
             ).items()
         }
+    if args.tag:
+        out["tagged"] = {args.tag: store.create_tag(args.tag)}
+    if args.expire_keep is not None:
+        out["expired_files_deleted"] = store.expire_snapshots(
+            keep_last=args.expire_keep
+        )
     print(json.dumps(out, default=str))
 
 
