@@ -48,6 +48,9 @@ def main() -> int:
                     "subject/predicate/object/graph, e.g. "
                     "\"subject = '<http://e/s1>'\"")
     ap.add_argument("--state", help="refresh-view: the view's state directory")
+    ap.add_argument("--group-by", default="predicate",
+                    help="refresh-view: comma-separated quad columns to "
+                         "count by (default: predicate)")
     args = ap.parse_args()
 
     from rio_spark.operators.materialize import GraphStore
@@ -100,9 +103,10 @@ def main() -> int:
     elif args.command == "refresh-view":
         if not args.state:
             ap.error("refresh-view needs --state <dir>")
-        from rio_spark.operators.incremental import IncrementalPredicateCounts
+        from rio_spark.operators.incremental import IncrementalCountView
 
-        rep = IncrementalPredicateCounts(store, args.state).refresh(spark())
+        cols = tuple(c.strip() for c in args.group_by.split(",") if c.strip())
+        rep = IncrementalCountView(store, args.state, group_cols=cols).refresh(spark())
         print(json.dumps({"command": "refresh-view", "store": args.store,
                           "state": args.state, **rep}))
     elif args.command == "tag":

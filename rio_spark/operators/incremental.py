@@ -24,7 +24,6 @@ is a no-op.
 
 from __future__ import annotations
 
-import json
 import shutil
 from pathlib import Path
 
@@ -35,12 +34,18 @@ from rio_spark.operators.materialize import GraphStore
 _APPEND_OPS = {"merge", "bootstrap", "init", "compact"}  # content-additive or neutral
 
 
-class IncrementalPredicateCounts:
-    """Maintains ``(predicate, n_quads)`` for a store, incrementally."""
+class IncrementalCountView:
+    """Maintains ``(*group_cols, n_quads)`` for a store, incrementally.
+    Counts are the delta-mergeable aggregate: the view folds the appended
+    delta's partial counts in with a sum.  Any quad column combination
+    groups (predicate for the KG-health view, graph for per-source
+    accounting, (predicate, graph) for both)."""
 
-    def __init__(self, store: GraphStore, state_dir: str):
+    def __init__(self, store: GraphStore, state_dir: str,
+                 group_cols: tuple[str, ...] = ("predicate",)):
         self.store = store
         self.state = Path(state_dir)
+        self.group_cols = list(group_cols)
 
     # -- cursor ---------------------------------------------------------------
 
@@ -54,7 +59,8 @@ class IncrementalPredicateCounts:
         """The current materialized aggregate (empty before first refresh)."""
         n = self.cursor()
         if n is None:
-            return spark.createDataFrame([], "predicate string, n_quads long")
+            schema = ", ".join(f"{c} string" for c in self.group_cols)
+            return spark.createDataFrame([], f"{schema}, n_quads long")
         return spark.read.parquet(str(self.state / f"view-{n}"))
 
     # -- refresh --------------------------------------------------------------
@@ -88,17 +94,17 @@ class IncrementalPredicateCounts:
         if full:
             agg = (
                 self.store.graph(spark, snapshot=target)
-                .groupBy("predicate").agg(F.count("*").alias("n_quads"))
+                .groupBy(*self.group_cols).agg(F.count("*").alias("n_quads"))
             )
             mode = "full"
         else:
             delta = (
                 self.store.added_quads(spark, cur, target)
-                .groupBy("predicate").agg(F.count("*").alias("n_quads"))
+                .groupBy(*self.group_cols).agg(F.count("*").alias("n_quads"))
             )
             agg = (
                 self.view(spark).unionByName(delta)
-                .groupBy("predicate").agg(F.sum("n_quads").alias("n_quads"))
+                .groupBy(*self.group_cols).agg(F.sum("n_quads").alias("n_quads"))
             )
             mode = "incremental"
 
@@ -116,3 +122,10 @@ class IncrementalPredicateCounts:
             if d.name != f"view-{target}":
                 shutil.rmtree(d, ignore_errors=True)
         return {"mode": mode, "from": prev, "to": target, "rows": rows}
+
+
+class IncrementalPredicateCounts(IncrementalCountView):
+    """The KG-health default: quad counts per predicate."""
+
+    def __init__(self, store: GraphStore, state_dir: str):
+        super().__init__(store, state_dir, group_cols=("predicate",))

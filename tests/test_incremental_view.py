@@ -82,3 +82,43 @@ def test_incremental_view_tracks_every_store_transition(spark, tmp_path):
     dirs = sorted(p.name for p in (tmp_path / "view").glob("view-*"))
     assert dirs == [f"view-{inc.cursor()}"]
     assert inc.cursor() == store.current_snapshot()
+
+
+def test_count_view_groups_by_arbitrary_columns(spark, tmp_path):
+    """The generalized view counts by any quad-column combination —
+    here (predicate, graph), with NULL graph keys grouping correctly —
+    and keeps the incremental/full-fallback contract."""
+    from rio_spark.operators.incremental import IncrementalCountView
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    inc = IncrementalCountView(store, str(tmp_path / "view"),
+                               group_cols=("predicate", "graph"))
+
+    def merge(pred, graph, n, tag=""):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://e/{pred}{graph}{tag}_{j}>", f"<http://p/{pred}>", '"v"', graph)
+             for j in range(n)],
+            "subject string, predicate string, object string, graph string",
+        ))
+
+    merge("a", None, 3)
+    merge("a", "<http://g/1>", 2)
+    assert inc.refresh(spark)["mode"] == "full"
+    merge("a", None, 1, tag="x")
+    assert inc.refresh(spark)["mode"] == "incremental"
+
+    got = {(r["predicate"], r["graph"]): r["n_quads"]
+           for r in inc.view(spark).collect()}
+    assert got == {("<http://p/a>", None): 4, ("<http://p/a>", "<http://g/1>"): 2}
+
+    truth = {
+        (r["predicate"], r["graph"]): r["n"]
+        for r in store.graph(spark).groupBy("predicate", "graph").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert got == truth
+
+    store.delete_where(spark, F.col("graph") == "<http://g/1>")
+    assert inc.refresh(spark)["mode"] == "full"
+    assert {(r["predicate"], r["graph"]) for r in inc.view(spark).collect()} == {
+        ("<http://p/a>", None)}
