@@ -90,10 +90,24 @@ class CommitConflict(RuntimeError):
 class GraphStore:
     def __init__(self, root: str, n_buckets: int = 64):
         self.root = Path(root)
-        self.n_buckets = n_buckets
+        self._ctor_n_buckets = n_buckets
         self.graph_dir = str(self.root / "graph")
         self.lineage_dir = str(self.root / "lineage")
         self.manifests_dir = self.root / "_manifests"
+
+    @property
+    def n_buckets(self) -> int:
+        """The store's bucket-spec: PERSISTED metadata, like Iceberg's
+        partition spec — NOT a per-process choice.  The constructor arg
+        applies only to a store with no spec on disk yet; an existing
+        store's spec always wins, because a writer bucketing subjects with
+        the wrong modulus would scatter quads into buckets the MERGE
+        anti-join never scans, silently breaking dedup.  The spec file is
+        published durably by the first commit (see ``_commit``)."""
+        p = self.manifests_dir / "SPEC"
+        if p.exists():
+            return int(json.loads(p.read_text())["n_buckets"])
+        return self._ctor_n_buckets
 
     # -- snapshot metadata ----------------------------------------------------
 
@@ -183,6 +197,12 @@ class GraphStore:
                     "retry the operation"
                 )
         self.manifests_dir.mkdir(parents=True, exist_ok=True)
+        spec = self.manifests_dir / "SPEC"
+        if not spec.exists():
+            # freeze the bucket spec with the first commit: every later
+            # writer buckets with THIS modulus regardless of what its
+            # constructor was told (see the n_buckets property)
+            self._durable_write(spec, json.dumps({"n_buckets": self.n_buckets}))
         nums = [
             int(_MANIFEST_RE.match(p.name).group(1))
             for p in self.manifests_dir.iterdir()

@@ -768,3 +768,28 @@ def test_merge_pruning_is_invisible_to_results(spark, tmp_path, monkeypatch):
     a = set(map(tuple, pruned.graph(spark).select(key).collect()))
     b = set(map(tuple, control.graph(spark).select(key).collect()))
     assert a == b
+
+
+def test_bucket_spec_is_persisted_store_metadata(spark, tmp_path):
+    """n_buckets is table metadata, not a per-process choice: a writer
+    reopening the store with a different (or default) constructor value
+    must bucket with the persisted spec, or MERGE dedup would silently
+    break on mis-bucketed subjects."""
+    from rio_spark.operators.materialize import GraphStore
+
+    root = str(tmp_path / "store")
+    batch = [(f"<http://e/s{j}>", "<http://p/x>", f'"{j}"', None) for j in range(30)]
+    schema = "subject string, predicate string, object string, graph string"
+
+    a = GraphStore(root, n_buckets=3)
+    assert a.merge(spark, spark.createDataFrame(batch, schema)) == 30
+
+    # reopened with the DEFAULT (64): the persisted spec must win
+    b = GraphStore(root)
+    assert b.n_buckets == 3
+    assert b.merge(spark, spark.createDataFrame(batch, schema)) == 0  # exact dedup
+    assert b.merge(spark, spark.createDataFrame(
+        [("<http://e/sNEW>", "<http://p/x>", '"n"', None)], schema)) == 1
+    # everything landed in the spec's bucket range
+    assert {r["p_bucket"] for r in b.graph(spark).select("p_bucket").distinct().collect()} <= {0, 1, 2}
+    assert b.graph(spark).count() == 31
