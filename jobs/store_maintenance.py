@@ -30,7 +30,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("command", choices=[
         "snapshots", "files", "compact", "expire", "rollback", "delta",
-        "tag", "drop-tag", "delete", "refresh-view"])
+        "tag", "drop-tag", "delete", "refresh-view", "rebucket"])
     ap.add_argument("--store", required=True, help="graph store root directory")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--min-files", type=int, default=8, help="compact threshold")
@@ -48,6 +48,7 @@ def main() -> int:
                     "subject/predicate/object/graph, e.g. "
                     "\"subject = '<http://e/s1>'\"")
     ap.add_argument("--state", help="refresh-view: the view's state directory")
+    ap.add_argument("--buckets", type=int, help="rebucket: the new bucket count")
     ap.add_argument("--group-by", default="predicate",
                     help="refresh-view: comma-separated quad columns to "
                          "count by (default: predicate)")
@@ -109,6 +110,12 @@ def main() -> int:
         rep = IncrementalCountView(store, args.state, group_cols=cols).refresh(spark())
         print(json.dumps({"command": "refresh-view", "store": args.store,
                           "state": args.state, **rep}))
+    elif args.command == "rebucket":
+        if args.buckets is None:
+            ap.error("rebucket needs --buckets <n>")
+        n = store.rebucket(spark(), args.buckets)
+        print(json.dumps({"command": "rebucket", "store": args.store,
+                          "n_buckets": args.buckets, "new_snapshot": n}))
     elif args.command == "tag":
         if not args.name:
             ap.error("tag needs --name")

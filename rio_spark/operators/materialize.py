@@ -102,8 +102,18 @@ class GraphStore:
         applies only to a store with no spec on disk yet; an existing
         store's spec always wins, because a writer bucketing subjects with
         the wrong modulus would scatter quads into buckets the MERGE
-        anti-join never scans, silently breaking dedup.  The spec file is
-        published durably by the first commit (see ``_commit``)."""
+        anti-join never scans, silently breaking dedup.
+
+        Resolution order: the CURRENT manifest's ``n_buckets`` stamp (so
+        :meth:`rebucket`'s spec change rides the same atomic CURRENT flip
+        as its file swap — no window where spec and layout disagree), then
+        the ``SPEC`` file (published durably by the first commit), then
+        the constructor argument."""
+        cur = self.current_snapshot()
+        if cur is not None:
+            stamped = self._read_manifest(cur).get("n_buckets")
+            if stamped is not None:
+                return int(stamped)
         p = self.manifests_dir / "SPEC"
         if p.exists():
             return int(json.loads(p.read_text())["n_buckets"])
@@ -175,7 +185,8 @@ class GraphStore:
 
     def _commit(self, files: set[str], op: str,
                 expect_parent: int | None | object = _UNCHECKED,
-                bounds: dict[str, list] | None = None) -> int:
+                bounds: dict[str, list] | None = None,
+                n_buckets: int | None = None) -> int:
         """Write manifest-(n+1) then atomically flip CURRENT. Numbering is
         max-on-disk + 1 (not CURRENT + 1), so a crashed commit that left an
         un-flipped manifest can never collide.
@@ -216,6 +227,10 @@ class GraphStore:
             "files": sorted(files),
             "n_files": len(files),
             "committed_at": time.time(),
+            # every snapshot records the spec its files are bucketed with
+            # (Iceberg: snapshot -> partition-spec reference); rebucket is
+            # the one op that passes a NEW value
+            "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
         }
         if bounds is not None:
             # per-file [min, max] subject bounds (Iceberg manifest column
@@ -730,6 +745,41 @@ class GraphStore:
         if changed:
             self._commit(files, "compact", expect_parent=base, bounds=bounds)
         return report
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
+        """Partition evolution: rewrite the live quad set under a new
+        bucket modulus and flip to it atomically (op ``rebucket``) — how a
+        store that outgrew its bucket count (merge batches now touch every
+        file of hot buckets) scales its layout without downtime.  Readers
+        racing the rewrite keep their pinned snapshot; old snapshots stay
+        time-travelable under their own recorded spec until expiry.
+
+        Honest delta vs Iceberg: Iceberg's spec evolution applies the new
+        spec to FUTURE data only and plans scans per-manifest-spec; this
+        store keeps ONE live spec by rewriting once (the MERGE anti-join's
+        bucket prune assumes a single modulus over the live set), trading
+        a one-time full rewrite — the same cost as a full compaction — for
+        a read path with no mixed-spec planning."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        self._bootstrap_if_legacy()
+        base = self.current_snapshot()
+        if new_n_buckets == self.n_buckets:
+            return base
+        live = self._live_files(base)
+        before = self._list_data_files()
+        if live:
+            df = self._read_files(spark, live).select(
+                "subject", "predicate", "object", "graph",
+                F.pmod(F.xxhash64("subject"), F.lit(new_n_buckets))
+                .cast("int").alias("p_bucket"),
+            )
+            df.write.mode("append").partitionBy("p_bucket").parquet(self.graph_dir)
+        added = self._list_data_files() - before
+        return self._commit(
+            added, "rebucket", expect_parent=base,
+            bounds=self._file_bounds(added), n_buckets=new_n_buckets,
+        )
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Copy-on-write DELETE (Iceberg's delete-with-rewrite): drop every

@@ -793,3 +793,38 @@ def test_bucket_spec_is_persisted_store_metadata(spark, tmp_path):
     # everything landed in the spec's bucket range
     assert {r["p_bucket"] for r in b.graph(spark).select("p_bucket").distinct().collect()} <= {0, 1, 2}
     assert b.graph(spark).count() == 31
+
+
+def test_rebucket_evolves_the_partition_spec(spark, tmp_path):
+    """rebucket rewrites the live set under a new modulus in one atomic
+    flip: content identical, new spec governs later merges from any
+    handle, dedup stays exact across the evolution, and pre-rebucket
+    snapshots time-travel under their own layout."""
+    from rio_spark.operators.materialize import GraphStore
+
+    root = str(tmp_path / "store")
+    schema = "subject string, predicate string, object string, graph string"
+    batch = [(f"<http://e/s{j}>", "<http://p/x>", f'"{j}"', None) for j in range(40)]
+
+    store = GraphStore(root, n_buckets=2)
+    store.merge(spark, spark.createDataFrame(batch, schema))
+    pre = store.current_snapshot()
+
+    store.rebucket(spark, 8)
+    assert store.n_buckets == 8
+    assert store.graph(spark).count() == 40
+    buckets = {r["p_bucket"] for r in store.graph(spark).select("p_bucket").distinct().collect()}
+    assert buckets - {0, 1}  # actually spread beyond the old modulus
+    # content bit-identical to the pre-rebucket snapshot
+    key = ["subject", "predicate", "object", "graph"]
+    assert store.graph(spark).select(key).exceptAll(
+        store.graph(spark, snapshot=pre).select(key)).isEmpty()
+    # dedup exact across the evolution, from a fresh default-ctor handle
+    b = GraphStore(root)
+    assert b.n_buckets == 8
+    assert b.merge(spark, spark.createDataFrame(batch, schema)) == 0
+    assert b.merge(spark, spark.createDataFrame(
+        [("<http://e/sNEW>", "<http://p/x>", '"n"', None)], schema)) == 1
+    # same-modulus rebucket is a no-op commit-wise
+    cur = store.current_snapshot()
+    assert store.rebucket(spark, 8) == cur

@@ -46,7 +46,7 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
 
     for step in range(10):
         op = rng.choice(["merge", "merge", "merge", "compact", "rollback",
-                         "expire", "delete", "tag"])
+                         "expire", "delete", "tag", "rebucket"])
         if op == "merge":
             batch = rng.sample(UNIVERSE, rng.randint(1, 6))
             merged = store.merge(spark, spark.createDataFrame(batch, QUAD_SCHEMA))
@@ -71,6 +71,9 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
             assert n == len(gone), f"step {step}: delete count drifted"
             live -= gone
             record()
+        elif op == "rebucket":
+            store.rebucket(spark, rng.choice([1, 2, 3, 5]))
+            record()  # content-neutral layout rewrite
         elif op == "tag":
             target = rng.choice(sorted(by_snapshot))
             store.create_tag(f"t{step}", target)
