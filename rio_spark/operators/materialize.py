@@ -354,6 +354,46 @@ class GraphStore:
             snapshot = tags[tag]
         return self._read_files(spark, self._live_files(snapshot))
 
+    def lookup(self, spark: SparkSession, subjects: list[str],
+               snapshot: int | None = None) -> DataFrame:
+        """Every quad about the given subjects — the KG point-read ("all
+        facts about entity X"), file-pruned exactly like MERGE's
+        anti-join: only files of the subjects' buckets whose manifest
+        bounds can contain one of them are planned, so a lookup into a
+        billion-file store touches a handful of files.  One tiny Spark
+        job computes the subjects' buckets (the bucket function is
+        JVM-side xxhash64 — never reimplemented driver-side, where a
+        drifting copy would silently read the wrong buckets); the scan
+        then filters with ``isin`` (pushed to parquet row groups)."""
+        if not subjects:
+            return self._read_files(spark, [])
+        n = self.current_snapshot() if snapshot is None else snapshot
+        live = self._live_files(n)
+        if not live:
+            return self._read_files(spark, [])
+        m = self._read_manifest(n) if n is not None else {}
+        known_bounds = m.get("bounds", {})
+        spec = m.get("n_buckets") or self.n_buckets
+        per_bucket: dict[str, tuple[str, str]] = {}
+        rows = spark.createDataFrame(
+            [(s,) for s in subjects], "subject string"
+        ).select(
+            "subject",
+            F.pmod(F.xxhash64("subject"), F.lit(spec)).cast("int").alias("b"),
+        ).collect()
+        for r in rows:
+            key = f"p_bucket={r['b']}"
+            lo, hi = per_bucket.get(key, (r["subject"], r["subject"]))
+            per_bucket[key] = (min(lo, r["subject"]), max(hi, r["subject"]))
+        scoped = [
+            f for f in live
+            if (bb := per_bucket.get(f.split("/", 1)[0])) is not None
+            and self._may_contain(known_bounds.get(f), bb[0], bb[1])
+        ]
+        return self._read_files(spark, scoped).filter(
+            F.col("subject").isin(subjects)
+        )
+
     # -- named refs -----------------------------------------------------------
 
     def tags(self) -> dict[str, int]:

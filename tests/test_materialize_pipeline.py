@@ -828,3 +828,44 @@ def test_rebucket_evolves_the_partition_spec(spark, tmp_path):
     # same-modulus rebucket is a no-op commit-wise
     cur = store.current_snapshot()
     assert store.rebucket(spark, 8) == cur
+
+
+def test_lookup_point_read_prunes_files(spark, tmp_path, monkeypatch):
+    """lookup(subjects) returns exactly the filter-equivalent quads while
+    planning only the subjects' bucket files whose bounds can contain
+    them — the point-read mirror of merge's pruning."""
+    from rio_spark.operators.materialize import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    for p in ("aaa", "mmm", "zzz"):
+        store.merge(spark, spark.createDataFrame(
+            [(f"<http://{p}/s{j}>", "<http://p/x>", f'"{j}"', None) for j in range(8)],
+            "subject string, predicate string, object string, graph string",
+        ))
+
+    want = ["<http://aaa/s1>", "<http://aaa/s2>"]
+    expected = sorted(
+        map(tuple, store.graph(spark).filter(F.col("subject").isin(want))
+            .select("subject", "predicate", "object", "graph").collect())
+    )
+
+    scanned = []
+    real = GraphStore._read_files
+
+    def spy(self, sp, files):
+        scanned.append(list(files))
+        return real(self, sp, files)
+
+    monkeypatch.setattr(GraphStore, "_read_files", spy)
+    got = sorted(
+        map(tuple, store.lookup(spark, want)
+            .select("subject", "predicate", "object", "graph").collect())
+    )
+    assert got == expected and len(got) == 2
+    m = store._read_manifest(store.current_snapshot())
+    # the aaa merge's files only: zzz/mmm files are bounds-excluded
+    assert 0 < len(scanned[0]) < len(m["files"])
+    assert all(m["bounds"][f][0].startswith("<http://aaa") for f in scanned[0])
+
+    assert store.lookup(spark, []).count() == 0
+    assert store.lookup(spark, ["<http://nope/x>"]).count() == 0
