@@ -82,7 +82,15 @@ def main() -> None:
             ).items()
         }
     if args.tag:
-        out["tagged"] = {args.tag: store.create_tag(args.tag)}
+        # resume-safe: rerunning the same command line (the documented
+        # resume workflow) finds the tag already on the same snapshot and
+        # treats it as done; a tag on a DIFFERENT snapshot stays a loud
+        # error (re-pointing a published version must be deliberate)
+        cur = store.current_snapshot()
+        if store.tags().get(args.tag) == cur:
+            out["tagged"] = {args.tag: cur}
+        else:
+            out["tagged"] = {args.tag: store.create_tag(args.tag)}
     if args.expire_keep is not None:
         out["expired_files_deleted"] = store.expire_snapshots(
             keep_last=args.expire_keep

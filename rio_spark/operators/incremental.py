@@ -41,8 +41,18 @@ class IncrementalCountView:
     groups (predicate for the KG-health view, graph for per-source
     accounting, (predicate, graph) for both)."""
 
+    _QUAD_COLS = ("subject", "predicate", "object", "graph")
+
     def __init__(self, store: GraphStore, state_dir: str,
                  group_cols: tuple[str, ...] = ("predicate",)):
+        bad = [c for c in group_cols if c not in self._QUAD_COLS]
+        if bad or not group_cols:
+            # p_bucket is deliberately excluded: it is LAYOUT, not content
+            # — a p_bucket-grouped view would go silently stale across a
+            # rebucket (a content-neutral op the refresh streams past)
+            raise ValueError(
+                f"group_cols must be non-empty quad columns {self._QUAD_COLS}, got {group_cols}"
+            )
         self.store = store
         self.state = Path(state_dir)
         self.group_cols = list(group_cols)
@@ -70,6 +80,17 @@ class IncrementalCountView:
         report: {mode: noop|incremental|full, from, to, rows}."""
         target = self.store.current_snapshot()
         cur = self.cursor()
+        # the grouping is state metadata: a refresh with different columns
+        # against existing state must fail loudly, not silently rewrite
+        # the view under new keys (or die in unionByName downstream)
+        gp = self.state / "GROUPING"
+        if gp.exists():
+            recorded = gp.read_text().split(",")
+            if recorded != self.group_cols:
+                raise ValueError(
+                    f"view state at {self.state} was built with group_cols="
+                    f"{recorded}, refresh asked for {self.group_cols}"
+                )
         if target is None or cur == target:
             return {"mode": "noop", "from": cur, "to": target, "rows": 0}
 
@@ -115,6 +136,8 @@ class IncrementalCountView:
         agg.write.parquet(str(out))
         rows = spark.read.parquet(str(out)).count()
         prev = cur
+        if not gp.exists():
+            GraphStore._durable_write(gp, ",".join(self.group_cols))
         GraphStore._durable_write(self.state / "CURSOR", str(target))
         # sweep every non-current view dir: the predecessor plus any
         # orphans a crashed refresh left behind

@@ -91,6 +91,7 @@ class GraphStore:
     def __init__(self, root: str, n_buckets: int = 64):
         self.root = Path(root)
         self._ctor_n_buckets = n_buckets
+        self._manifest_cache: dict[int, dict] = {}
         self.graph_dir = str(self.root / "graph")
         self.lineage_dir = str(self.root / "lineage")
         self.manifests_dir = self.root / "_manifests"
@@ -111,9 +112,7 @@ class GraphStore:
         the constructor argument."""
         cur = self.current_snapshot()
         if cur is not None:
-            stamped = self._read_manifest(cur).get("n_buckets")
-            if stamped is not None:
-                return int(stamped)
+            return self._spec_of(self._read_manifest(cur))
         p = self.manifests_dir / "SPEC"
         if p.exists():
             return int(json.loads(p.read_text())["n_buckets"])
@@ -139,10 +138,34 @@ class GraphStore:
         return sorted(out, key=lambda d: d["snapshot"])
 
     def _read_manifest(self, n: int) -> dict:
+        # manifests are immutable once written, so a tiny cache makes the
+        # n_buckets property / merge / lookup reads O(1) re-parses instead
+        # of re-reading a multi-MB file-list JSON per access; existence is
+        # still checked every hit so expiry keeps raising in-process
         p = self.manifests_dir / f"manifest-{n}.json"
         if not p.exists():
+            self._manifest_cache.pop(n, None)
             raise ValueError(f"unknown or expired snapshot {n}")
-        return json.loads(p.read_text())
+        m = self._manifest_cache.get(n)
+        if m is None:
+            m = json.loads(p.read_text())
+            if len(self._manifest_cache) >= 8:
+                self._manifest_cache.pop(next(iter(self._manifest_cache)))
+            self._manifest_cache[n] = m
+        return m
+
+    def _spec_of(self, manifest: dict) -> int:
+        """The bucket modulus a manifest's FILES are laid out under: its
+        own stamp, else the original SPEC file (every unstamped manifest
+        predates rebucket, and only rebucket ever changes the spec), else
+        the constructor value."""
+        stamped = manifest.get("n_buckets")
+        if stamped is not None:
+            return int(stamped)
+        p = self.manifests_dir / "SPEC"
+        if p.exists():
+            return int(json.loads(p.read_text())["n_buckets"])
+        return self._ctor_n_buckets
 
     def _list_data_files(self) -> set[str]:
         """All parquet parts on disk, as graph_dir-relative paths."""
@@ -245,6 +268,10 @@ class GraphStore:
         # torn manifest and leave the store unreadable.  Process crashes were
         # already safe; this closes the power-loss window too.
         self._durable_write(self.manifests_dir / f"manifest-{n}.json", json.dumps(manifest))
+        # a freshly-written number must never serve a stale cache entry:
+        # manifest numbering restarts at 0 when a devolved legacy store
+        # re-bootstraps under a live handle
+        self._manifest_cache.pop(n, None)
         self._durable_write(self.manifests_dir / "CURRENT", str(n))  # the atomic commit
         return n
 
@@ -373,7 +400,9 @@ class GraphStore:
             return self._read_files(spark, [])
         m = self._read_manifest(n) if n is not None else {}
         known_bounds = m.get("bounds", {})
-        spec = m.get("n_buckets") or self.n_buckets
+        # the PINNED manifest's layout spec, never the current one: time
+        # travel across a rebucket must hash with the old modulus
+        spec = self._spec_of(m) if m else self.n_buckets
         per_bucket: dict[str, tuple[str, str]] = {}
         rows = spark.createDataFrame(
             [(s,) for s in subjects], "subject string"
@@ -526,8 +555,12 @@ class GraphStore:
         together)."""
         base = self.current_snapshot()
         target = self._read_manifest(to_snapshot)
+        # carry the TARGET's bucket spec, not the current one: rolling back
+        # over a rebucket must restore the modulus its files are laid out
+        # under, or later merges/lookups hash into buckets that don't exist
         return self._commit(set(target["files"]), "rollback", expect_parent=base,
-                            bounds=target.get("bounds", {}))
+                            bounds=target.get("bounds", {}),
+                            n_buckets=self._spec_of(target))
 
     def added_quads(
         self, spark: SparkSession, since: int, until: int | None = None

@@ -122,3 +122,27 @@ def test_count_view_groups_by_arbitrary_columns(spark, tmp_path):
     assert inc.refresh(spark)["mode"] == "full"
     assert {(r["predicate"], r["graph"]) for r in inc.view(spark).collect()} == {
         ("<http://p/a>", None)}
+
+
+def test_view_grouping_is_state_metadata(spark, tmp_path):
+    """group_cols are validated (quad columns only — p_bucket is layout)
+    and frozen into the state dir: a refresh with different columns
+    against existing state fails loudly instead of silently rewriting."""
+    from rio_spark.operators.incremental import IncrementalCountView
+
+    store = GraphStore(str(tmp_path / "store"), n_buckets=2)
+    store.merge(spark, spark.createDataFrame(
+        [("<http://e/s>", "<http://p/a>", '"v"', None)],
+        "subject string, predicate string, object string, graph string",
+    ))
+    with pytest.raises(ValueError, match="quad columns"):
+        IncrementalCountView(store, str(tmp_path / "v"), group_cols=("p_bucket",))
+    with pytest.raises(ValueError, match="quad columns"):
+        IncrementalCountView(store, str(tmp_path / "v"), group_cols=())
+
+    state = str(tmp_path / "view")
+    IncrementalCountView(store, state).refresh(spark)
+    with pytest.raises(ValueError, match="was built with group_cols"):
+        IncrementalCountView(store, state, group_cols=("graph",)).refresh(spark)
+    # the original grouping keeps refreshing fine
+    assert IncrementalCountView(store, state).refresh(spark)["mode"] == "noop"

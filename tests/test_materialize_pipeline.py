@@ -829,6 +829,13 @@ def test_rebucket_evolves_the_partition_spec(spark, tmp_path):
     cur = store.current_snapshot()
     assert store.rebucket(spark, 8) == cur
 
+    # rolling back OVER the rebucket restores the old spec with the old
+    # files: later merges/lookups hash with the target's modulus again
+    store.rollback(pre)
+    assert store.n_buckets == 2
+    assert store.merge(spark, spark.createDataFrame(batch, schema)) == 0
+    assert store.lookup(spark, ["<http://e/s3>"]).count() == 1
+
 
 def test_lookup_point_read_prunes_files(spark, tmp_path, monkeypatch):
     """lookup(subjects) returns exactly the filter-equivalent quads while
