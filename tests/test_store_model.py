@@ -88,6 +88,17 @@ def test_store_matches_set_model_under_random_ops(spark, tmp_path, seed):
 
         # live graph == model after every op
         assert _graph_set(spark, store) == live, f"step {step} ({op}): live drifted"
+        # the file-pruned point-read agrees with the model too — lookup
+        # hashes with the live spec, so this catches any op (rebucket,
+        # rollback over one) that desynchronizes spec and layout
+        probe_subj = rng.choice(UNIVERSE)[0]
+        got = {
+            (r["subject"], r["predicate"], r["object"], r["graph"])
+            for r in store.lookup(spark, [probe_subj]).collect()
+        }
+        assert got == {q for q in live if q[0] == probe_subj}, (
+            f"step {step} ({op}): lookup({probe_subj}) drifted"
+        )
         # a random unexpired snapshot time-travels to its recorded set
         probe = rng.choice(sorted(by_snapshot))
         assert _graph_set(spark, store, snapshot=probe) == by_snapshot[probe], (
