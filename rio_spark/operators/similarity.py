@@ -212,6 +212,23 @@ def lsh_bucket_ids(
     )
 
 
+def _round_half_up(x: float, nd: int):
+    """Spark's Round(double, nd): BigDecimal.valueOf(x) (= the shortest
+    round-trip decimal repr, the same value Python's repr produces)
+    quantized HALF_UP, back to double; NaN/Inf pass through unchanged
+    (Spark's MathExpressions guard).  Used by the vectorized pair scorer so
+    its emitted cosines are bit-identical to the column expression
+    ``F.round(cos, nd)`` the join formulation produced — pinned by
+    tests/test_r07_pair_scoring.py against Spark's own round."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
+
+
 def cosine_pairs_lsh(
     embeddings: DataFrame, threshold: float, n_planes: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding", round_to: int = 4,
@@ -219,35 +236,108 @@ def cosine_pairs_lsh(
 ) -> DataFrame:
     """Near-duplicate pairs, LSH-bucketed: exact cosine only WITHIN a bucket.
 
-    The scale path for embedding near-dup detection: the self-join key is the
-    bucket string, so the plan is a shuffled equi-join that never materializes
-    the quadratic cross-bucket pair space (vs :func:`cosine_pairs_above`,
-    which is the small-N exactness baseline). Recall is tunable: fewer planes
-    -> bigger buckets -> higher recall and cost. Hot buckets (near-constant
-    embedding regions) are split at runtime by AQE skew-join."""
+    The scale path for embedding near-dup detection (vs
+    :func:`cosine_pairs_above`, the guarded small-N baseline).  Recall is
+    tunable: fewer planes -> bigger buckets -> higher recall and cost.
+
+    r7 shape (guide §4.2 — distribute with Spark, crunch batches in native
+    code): ONE shuffle of (vec_id, v, bucket) on the bucket key into a
+    grouped Arrow stage whose numpy kernel scores each bucket's pair block.
+    The previous bucket-key self-join had the right 100 TB join shape but
+    paid an interpreted ``ArrayAggregate`` dot product per candidate pair
+    (CodegenFallback, never codegen'd): 12.5M in-bucket pairs at sf1.0 =
+    28-34 s; the block kernel does the same arithmetic in ~2 s and
+    shuffles each row once instead of twice (the join exchanged both
+    aliases).
+
+    Bit-exactness contract (oracle-checked): the scorer reproduces the
+    column expressions literally — dot products accumulate in ascending
+    dimension order exactly like ``F.aggregate(zip_with(...))`` (a chunked
+    rank-1-update loop over dimensions, so every pair cell sees the
+    identical multiply/add sequence), ``cosine = dot / (norm_a * norm_b)``
+    in the same operation order, and rounding goes through
+    :func:`_round_half_up` (Spark's shortest-repr HALF_UP).  Values below
+    ``threshold - 0.5*10^-round_to - 1e-9`` cannot round up to the
+    threshold, so only the surviving fringe pays per-value decimal
+    rounding.  A zero-norm vector that meets any bucket partner raises,
+    exactly as the join formulation's pair division does under ANSI mode
+    (Spark 4 default).  Differential-tested against the join formulation
+    on real SF data and crafted zero-norm/boundary cases
+    (tests/test_r07_pair_scoring.py).
+
+    Skew note (100 TB): a bucket is one task here, where the join had AQE
+    skew-split — but the quadratic in-bucket pair WORK is identical either
+    way, so a bucket too hot for one task was already too hot for the
+    operator: split it upstream with more planes (the knob this operator
+    exposes) or block-salt the group key.  Task memory is bounded at
+    O(chunk x bucket) doubles by the chunked block loop regardless of
+    bucket size."""
+    import pandas as pd
+
     if planes is None:
         planes = collect_planes(embeddings, n_planes, id_col, vec_col)
-    # norms are per-VECTOR: computing them inside the pair expression would
-    # re-run the O(dim) aggregate per candidate pair (measured ~2-3x the
-    # whole query); precompute once per row and carry the scalar
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+    nd = int(round_to)
+    # below this, HALF_UP rounding to `nd` decimals cannot reach `thr`
+    # (half-grid margin plus repr slop)
+    margin = thr - 0.5 * 10.0 ** (-nd) - 1e-9
+
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         _bucket_expr(vec_col, planes).alias("bucket"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("n"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    av, bv = F.col("a.v"), F.col("b.v")
-    cos = _dot(av, bv) / (F.col("a.n") * F.col("b.n"))
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, round_to).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        n_rows = len(pdf)
+        if n_rows >= 2:
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            X = np.array(pdf["v"].to_list(), dtype=np.float64)
+            d = X.shape[1]
+            # the _norm column expression's left fold, vectorized over
+            # rows: acc = (((0 + x0*x0) + x1*x1) + ...) per row
+            acc = np.zeros(n_rows)
+            for i in range(d):
+                acc = acc + X[:, i] * X[:, i]
+            norms = np.sqrt(acc)
+            if np.any(norms == 0.0):
+                # n_rows >= 2, so a zero-norm row meets at least one pair
+                # division — ANSI Spark raises there; match it rather than
+                # silently emitting NaN pairs the join would never return
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding in an LSH bucket "
+                    "with partners: the pair cosine divides by zero "
+                    "(ANSI mode). Drop zero vectors before pairing."
+                )
+            col_idx = np.arange(n_rows)
+            chunk = 2048  # bounds the pair block at chunk x bucket doubles
+            for s0 in range(0, n_rows - 1, chunk):
+                s1 = min(s0 + chunk, n_rows)
+                A = X[s0:s1]
+                G = np.zeros((s1 - s0, n_rows))
+                for i in range(d):
+                    G = G + A[:, i][:, None] * X[:, i][None, :]
+                C = G / (norms[s0:s1][:, None] * norms[None, :])
+                # strict upper triangle (vec_a < vec_b after the id sort)
+                mask = C >= margin
+                mask &= col_idx[None, :] > (s0 + np.arange(s1 - s0))[:, None]
+                for ri, ci in zip(*np.nonzero(mask)):
+                    c = _round_half_up(C[ri, ci], nd)
+                    if c >= thr:
+                        out_a.append(ids[s0 + ri])
+                        out_b.append(ids[ci])
+                        out_c.append(c)
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+
+    return e.groupBy("bucket").applyInPandas(
+        score, f"vec_a {id_type}, vec_b {id_type}, cosine double"
     )
 
 

@@ -54,23 +54,20 @@ def test_vectorized_pairs_match_join_formulation(spark, sf):
     assert got == want  # pair sets AND bit-identical rounded cosines
 
 
-def test_vectorized_pairs_zero_norm_nan_semantics(spark):
-    """Zero vectors give NaN cosines; Spark's comparison semantics order
-    NaN above every threshold, so those pairs must survive in both
-    formulations (and carry NaN, which compares equal via !=-check)."""
+def test_vectorized_pairs_zero_norm_raises_like_ansi_division(spark):
+    """A zero-norm vector meeting a bucket partner divides by zero in the
+    join formulation's pair cosine — ANSI Spark (the session default)
+    raises there; the vectorized scorer must raise too, not silently emit
+    NaN pairs the join would never return."""
     rows = [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(4)] + [
         (4, [1.0, 0.0, 0.0, 0.0]), (5, [1.0, 0.0, 0.0, 0.0]),
         (6, [-1.0, 0.5, 0.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
-           for r in cosine_pairs_lsh(emb, threshold=0.3, n_planes=2).collect()}
-    want = {(r["vec_a"], r["vec_b"]): r["cosine"]
-            for r in _join_pairs(emb, threshold=0.3, n_planes=2).collect()}
-    assert set(got) == set(want)
-    for k in want:
-        gv, wv = got[k], want[k]
-        assert gv == wv or (gv != gv and wv != wv), (k, gv, wv)
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _join_pairs(emb, threshold=0.3, n_planes=2).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        cosine_pairs_lsh(emb, threshold=0.3, n_planes=2).collect()
 
 
 def test_round_half_up_matches_spark_round(spark):
