@@ -50,10 +50,6 @@ _FAST_LINE_NQ = re.compile(
     r"[ \t]*\.[ \t]*(?:#.*)?$"
 )
 _SCHEME_PROBE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
-# anchorless twin for probing INSIDE a bracketed token via match(tok, 1) —
-# pattern.match(s, pos) anchors at pos, but a literal '^' in the pattern
-# still means position 0, so the '^'-anchored probe can never be reused here
-_SCHEME_PROBE_AT = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
 
 # ---------------------------------------------------------------------------
 # batched document fast path: ONE multiline findall classifies every line of
@@ -64,18 +60,26 @@ _SCHEME_PROBE_AT = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
 # over the result IS the line numbering. Terms are captured WITH their
 # delimiters ('<...>', '"..."') so an empty capture ('') unambiguously means
 # "group did not participate" — findall cannot represent None — and the
-# captured bracketed IRI doubles as the term's final wrapped form (no
-# '<'+iri+'>' re-concat per distinct IRI). Group 1 captures the whole fast
-# line so a validation failure (relative IRI, bad langtag) can re-parse the
-# line through the positioned slow path. Lines the fast shape cannot express
-# (escapes, bnodes, quoted triples) fall to the catch-all: both fast regexes
-# exclude backslash in every term body, so an escape-bearing line can never
-# half-match — false negatives only, same contract as the per-line path.
+# captured token IS the term's final canonical form: the IRI shape embeds
+# the absolute-IRI scheme requirement ([A-Za-z][A-Za-z0-9+.-]*:) that the
+# per-line path probes with _SCHEME_PROBE, and the literal body excludes
+# every character the canonical encoder escapes (backslash, quote, newline,
+# CR, tab), so NO per-term validation or re-encoding runs in the Python
+# loop (r7: this replaced the per-distinct-IRI memo + probe — ~25% of
+# batch-path time — with zero per-IRI work; a tab-bearing literal now
+# takes the slow path, whose encode_literal escapes it identically).
+# Group 1 captures the whole fast line so the one in-loop validation left
+# (BCP-47 language tags, memoized per distinct tag) can re-parse a
+# failing line through the positioned slow path. Lines the fast shape
+# cannot express (escapes, bnodes, relative IRIs, quoted triples) fall to
+# the catch-all: both fast regexes exclude backslash in every term body,
+# so an escape-bearing line can never half-match — false negatives only,
+# same contract as the per-line path.
 # ---------------------------------------------------------------------------
-_B_IRI = r"<[^<>\"{}|^`\\\x00-\x20]*>"
+_B_IRI = r"<[A-Za-z][A-Za-z0-9+.\-]*:[^<>\"{}|^`\\\x00-\x20]*>"
 _B_STMT = (
     r"[ \t]*(" + _B_IRI + r")[ \t]+(" + _B_IRI + r")[ \t]+(?:("
-    + _B_IRI + r')|("[^"\\\n\r]*")(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^('
+    + _B_IRI + r')|("[^"\\\n\r\t]*")(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^('
     + _B_IRI + r"))?)"
 )
 _B_TAIL = r"[ \t]*\.[ \t]*(?:#[^\n]*)?"
@@ -198,6 +202,17 @@ def _parse_line(s: str, line: int, quads: bool, star: bool):
     return (subj, pred, obj)
 
 
+def _langtag_or_false(lmemo: dict, lang: str):
+    """Normalized langtag or False, memoized per distinct tag (a document
+    carries a handful of distinct tags; the BCP-47 regex runs once each)."""
+    try:
+        nl = normalize_langtag(lang, 0, 0)
+    except ParseError:
+        nl = False
+    lmemo[lang] = nl
+    return nl
+
+
 def _parse_doc(text: str, quads: bool, star: bool):
     """Dispatch: batched single-findall classification for the common CR-free
     document, the per-line loop for CRLF docs ('$' under (?m) matches before
@@ -206,56 +221,38 @@ def _parse_doc(text: str, quads: bool, star: bool):
         return _parse_doc_lines(text, quads, star)
     triples: list[tuple] = []
     errors: list[dict] = []
-    # per-document memo: ONE interned str object per distinct bracketed IRI.
-    # Subjects repeat across adjacent lines and predicates across the whole
-    # document; reusing the same object cuts small-string allocator churn
-    # (the measured scaling bottleneck at high core counts, BENCH/BASELINE.md).
-    memo: dict[str, str] = {}
-    probe = _SCHEME_PROBE_AT.match
-
-    def wrap(tok: str):
-        """Scheme-validate a captured '<...>' token once per DISTINCT IRI;
-        the captured string IS the wrapped term, so a valid token interns
-        itself. None = invalid -> the line re-parses through the positioned
-        slow path."""
-        if probe(tok, 1) is None:
-            return None
-        memo[tok] = tok
-        return tok
-
-    mg = memo.get
+    lmemo: dict = {}
+    lget = lmemo.get
     emit = triples.append
     # two specialized loops (triple / quad tuple shapes differ) so the hot
     # NT loop carries no per-line `if quads` branches or 9-field unpacking;
-    # inlined memo probes exactly as the per-line path: memo values are
-    # non-empty strings, so `get(...) or wrap(...)` is falsy exactly when
-    # the term is unvalidated-and-invalid
+    # every captured term is already canonical (see the regex comment), so
+    # the fast branches are pure tuple assembly — the only validation left
+    # is the memoized BCP-47 check on language tags (memo values are the
+    # lowercased tag or False, so `lget(...) or _langtag_or_false(...)`
+    # recomputes only on a true miss)
     if not quads:
         for lineno, (whole, sub, pred, obj, lit, lang, dt, rest) in enumerate(
             _BATCH_LINE.findall(text), start=1
         ):
             if sub:
-                ws = mg(sub) or wrap(sub)
-                if ws:
-                    wp = mg(pred) or wrap(pred)
-                    if wp:
-                        if obj:
-                            wo = mg(obj) or wrap(obj)
-                            if wo:
-                                emit((ws, wp, wo))
-                                continue
-                        elif not dt or mg(dt) or wrap(dt):
-                            # BCP-47-validate here too so acceptance does not
-                            # depend on which path a line happens to take
-                            try:
-                                nl = normalize_langtag(lang, 0, 0) if lang else None
-                            except ParseError:
-                                nl = False
-                            if nl is not False:
-                                emit((ws, wp, encode_literal(
-                                    lit[1:-1], nl, dt[1:-1] if dt else None)))
-                                continue
-                rest = whole  # fast shape, invalid payload: slow path
+                if obj:
+                    emit((sub, pred, obj))
+                    continue
+                if lang:
+                    nl = lget(lang)
+                    if nl is None:
+                        nl = _langtag_or_false(lmemo, lang)
+                    if nl is not False:
+                        emit((sub, pred, lit + "@" + nl))
+                        continue
+                    rest = whole  # bad tag: positioned error via slow path
+                elif dt:
+                    emit((sub, pred, lit + "^^" + dt))
+                    continue
+                else:
+                    emit((sub, pred, lit))
+                    continue
             elif not rest:
                 continue  # blank / comment line
             try:
@@ -270,26 +267,24 @@ def _parse_doc(text: str, quads: bool, star: bool):
         _BATCH_LINE_NQ.findall(text), start=1
     ):
         if sub:
-            ws = mg(sub) or wrap(sub)
-            if ws:
-                wp = mg(pred) or wrap(pred)
-                if wp and (not graph or mg(graph) or wrap(graph)):
-                    if obj:
-                        wo = mg(obj) or wrap(obj)
-                        if wo:
-                            emit((ws, wp, wo, memo[graph] if graph else None))
-                            continue
-                    elif not dt or mg(dt) or wrap(dt):
-                        try:
-                            nl = normalize_langtag(lang, 0, 0) if lang else None
-                        except ParseError:
-                            nl = False
-                        if nl is not False:
-                            emit((ws, wp, encode_literal(
-                                lit[1:-1], nl, dt[1:-1] if dt else None),
-                                memo[graph] if graph else None))
-                            continue
-            rest = whole  # fast shape, invalid payload: slow path
+            g = graph if graph else None
+            if obj:
+                emit((sub, pred, obj, g))
+                continue
+            if lang:
+                nl = lget(lang)
+                if nl is None:
+                    nl = _langtag_or_false(lmemo, lang)
+                if nl is not False:
+                    emit((sub, pred, lit + "@" + nl, g))
+                    continue
+                rest = whole  # bad tag: positioned error via slow path
+            elif dt:
+                emit((sub, pred, lit + "^^" + dt, g))
+                continue
+            else:
+                emit((sub, pred, lit, g))
+                continue
         elif not rest:
             continue  # blank / comment line
         try:

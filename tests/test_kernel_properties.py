@@ -112,6 +112,12 @@ def test_batched_doc_path_matches_per_line_path(text):
             '_:b0 <http://e/p> _:b1 .',
             '<rel/iri> <http://e/p> <http://e/o> .',  # relative: slow-path error
             '<http://e/s> <http://e/p> "a\\"b" .',    # escape: slow path
+            '<http://e/s> <http://e/p> "a\tb" .',     # tab literal: slow path (r7)
+            '<http://e/s> <http://e/p> "v"@zz-!! .',  # bad langtag shape
+            '<http://e/s> <http://e/p> "v"@abcdefghij .',  # BCP-47 reject
+            '<HTTP://E/s> <a+b-c.9://p> <http://e/o> .',   # exotic schemes
+            '<:nochar> <http://e/p> <http://e/o> .',  # empty scheme: error
+            '<http://e/s> <http://e/p> "v"^^<rel> .',  # relative datatype
             '  # comment', '', '\t',
             '<http://e/s> <http://e/p> "v" <http://e/g> .',  # quad line
             'garbage line .',
