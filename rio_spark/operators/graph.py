@@ -104,8 +104,16 @@ def pagerank(
     # re-joining outdeg every round (one shuffle join x iters saved). The
     # division stays rank/deg AT AGGREGATION TIME — not a pre-scaled 1/deg
     # weight — because sum(rank/deg) and sum(rank*(1/deg)) differ in the
-    # last ulp and the oracle computes the former
-    e_deg = e.join(outdeg, "src").select("src", "dst", "deg").cache()
+    # last ulp and the oracle computes the former.
+    # repartition(src) BEFORE caching (r7, guide §2.4): the join that built
+    # e_deg broadcasts outdeg, so the cache inherits e's (src, dst) hash —
+    # useless to the per-iteration contribution join, which then re-shuffled
+    # all |E| rows on src EVERY iteration (plan: Exchange above the e_deg
+    # InMemoryTableScan). Cached as hash(src) at the session partition
+    # count, the join reuses the cache's layout and only the tiny rank
+    # vector moves per round (it arrives hash(node) from the previous
+    # round's join, so in steady state no side re-shuffles).
+    e_deg = e.join(outdeg, "src").select("src", "dst", "deg").repartition("src").cache()
     # round(·,10) pins the Python double to the same value DuckDB gets from
     # its decimal literal (1.0-0.85 is 0.15000000000000002 in binary)
     base = round(1.0 - damping, 10)
@@ -125,7 +133,11 @@ def pagerank(
             "node", "left",
         ).select("node", "eps", F.col("__has_out").isNull().alias("dang"))
         carry = ["node", "eps", "dang"]
-    nodes = nodes.cache()
+    # hash(node) layout for the same reason as e_deg: the per-iteration
+    # teleport left-join then reuses the cache partitioning, and contrib
+    # arrives hash(node) from its own aggregation — zero exchanges on
+    # either side of that join
+    nodes = nodes.repartition("node").cache()
     n_nodes = float(nodes.count()) if conserve_mass else 0.0
     ranks = nodes.select(
         *carry, (F.lit(1.0) + F.col("eps")).alias("rank")
