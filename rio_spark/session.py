@@ -81,6 +81,12 @@ def coalesced_shuffles(spark: SparkSession):
     concurrent callers should give each workload its own
     ``spark.newSession()`` (per-session conf) instead of sharing this one.
     """
+    # NB (r7): also tried scoping spark.sql.join.preferSortMergeJoin=false
+    # here (shuffled-hash joins for the loop bodies, guide §3.1) — measured
+    # flat on kg_connected_components (2.77 -> 2.80 s) and kg_pagerank
+    # (6.32 -> 6.21 s) and worse on kg_cc_incremental (6.09 -> 7.05 s) at
+    # sf1.0 local[32]; rejected, the per-round cost here is stage fixed
+    # overhead, not the sorts.
     key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev = spark.conf.get(key, "false")
     spark.conf.set(key, "true")
