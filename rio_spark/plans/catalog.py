@@ -304,7 +304,18 @@ def q_kg_entity_linking(spark, sf_dir) -> DataFrame:
     docs = _documents(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"), "text"
     )
-    mentions = detect_mentions(docs)
+    # r7: dictionary-derived candidate pruning BELOW the explode (guide
+    # §3.2 small-side pre-filter): only grams whose first token can begin a
+    # dictionary key are materialized; the broadcast join's output — and so
+    # the oracle result — is identical by construction (proof in
+    # detect_mentions), the explode just stops manufacturing ~10x rows the
+    # join would immediately drop.  Both constants are driver-side Python
+    # over the in-repo dictionary list — no extra Spark job.
+    mentions = detect_mentions(
+        docs,
+        max_ngram=max(len(k.split()) for k, _, _ in LINK_DICT),
+        first_tokens=[k.split()[0] for k, _, _ in LINK_DICT],
+    )
     resolved = resolve_candidates(link_broadcast(mentions, _link_dictionary(spark)))
     return resolved.select(
         "doc_id", "mention_key", F.col("candidate_iri").alias("entity_iri")
