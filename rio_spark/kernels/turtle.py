@@ -246,7 +246,17 @@ class _Parser:
             raise self.err("UnexpectedChar", "expected IRI in prefix directive")
         iri, self.i = scan_iriref(self.s, self.i, 0)
         self.prefixes[name] = self._iri_of(iri)[1:-1]
-        self._pn_cache.clear()  # redeclaration invalidates cached expansions
+        # redeclaration invalidates cached expansions — but only of pnames
+        # UNDER THIS PREFIX: '<...>' keys depend on @base, not on any
+        # prefix, and pnames of other prefixes are untouched, so a
+        # directive-heavy document (directives interleaved with data, legal
+        # Turtle) no longer discards the whole cache per @prefix (r6 ADVICE)
+        dead = [
+            k for k in self._pn_cache
+            if k[0] != "<" and k.partition(":")[0] == name
+        ]
+        for k in dead:
+            del self._pn_cache[k]
         if not sparql_style:
             self.skip_ws()
             self.expect(".")
@@ -257,7 +267,13 @@ class _Parser:
             raise self.err("UnexpectedChar", "expected IRI in base directive")
         iri, self.i = scan_iriref(self.s, self.i, 0)
         self.base = resolve_or_validate(iri, self.base)
-        self._pn_cache.clear()  # relative-IRI expansions depend on the base
+        # relative-IRI expansions depend on the base; pname expansions do
+        # NOT (prefix values were fully resolved at declaration time), so
+        # only '<...>' keys are evicted (r6 ADVICE, churn-only twin of the
+        # @prefix fix above)
+        dead = [k for k in self._pn_cache if k[0] == "<"]
+        for k in dead:
+            del self._pn_cache[k]
         if not sparql_style:
             self.skip_ws()
             self.expect(".")

@@ -93,6 +93,18 @@ class IncrementalCountView:
                 )
         if target is None or cur == target:
             return {"mode": "noop", "from": cur, "to": target, "rows": 0}
+        if cur is not None and target < cur:
+            # a cursor AHEAD of the store's CURRENT means the store was
+            # wiped and re-bootstrapped (numbering restarted) while the
+            # view state persisted — the two no longer share a history;
+            # the incremental branch would see an empty range and silently
+            # keep the stale aggregate (r6 ADVICE)
+            raise ValueError(
+                f"view cursor {cur} is ahead of the store's CURRENT "
+                f"{target}: view state and store no longer share a "
+                "history (store re-bootstrapped?); delete the view state "
+                f"directory {self.state} to rebuild from scratch"
+            )
 
         snaps = self.store.snapshots()  # read the manifest log ONCE
         present = {s["snapshot"] for s in snaps}

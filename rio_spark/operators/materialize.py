@@ -596,6 +596,33 @@ class GraphStore:
                 f"contains {bad_ops}; the incremental delta is undefined, "
                 "re-read the snapshot instead"
             )
+        # surviving manifests alone can HIDE an expired delete/rollback
+        # inside the range (r6 ADVICE: expire_snapshots over merge->delete->
+        # compact left bad_ops empty and returned a silently partial delta).
+        # Walk the parent chain from `until` down to `since`: every link in
+        # (since, until] must still be in the log — a missing link means the
+        # history needed to classify the range is gone, so refuse.
+        if since < until:
+            node = until
+            while node != since:
+                s = by_n.get(node)
+                if s is None:
+                    raise ValueError(
+                        f"cannot compute the delta over ({since}, {until}]: "
+                        f"snapshot {node} in the parent chain was expired "
+                        "(or never existed) — incremental history starts "
+                        "later; re-read the snapshot instead"
+                    )
+                node = s["parent"]
+                if node is None:
+                    # reached the root: valid only when `since` addresses
+                    # the empty pre-history (the from-the-beginning scan)
+                    if since < s["snapshot"]:
+                        break
+                    raise ValueError(
+                        f"cannot compute the delta over ({since}, {until}]: "
+                        f"snapshot {since} is not an ancestor of {until}"
+                    )
         files: list[str] = []
         for n in sorted(by_n):
             if not (since < n <= until):
