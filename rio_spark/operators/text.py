@@ -46,9 +46,14 @@ def _hits_on(padded, words: list[str]):
     return hits.cast("double")
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                passthrough: bool = False) -> DataFrame:
     """-> (doc_id, lang_pred, lang_score): argmax of stopword-profile hit
-    counts, deterministic tie-break by language code.
+    counts, deterministic tie-break by language code.  ``passthrough=True``
+    additionally carries ``text_col`` through, so a gating caller can
+    FILTER on the prediction in the same corpus pass instead of joining
+    the id-list back onto the corpus (r7: the corpus-clean chain's gate
+    joins re-shuffled the text payload once per gate — guide §8).
 
     Plan shape matters more than the heuristic here: the padded normalized
     text is LET-BOUND (one regexp_replace per row, not one per profile-word
@@ -79,10 +84,10 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             ),
         )
 
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.inline(F.array(let_col(_padded(c), build))),
-    )
+    cols = [F.col(id_col).alias("doc_id")]
+    if passthrough:
+        cols.append(F.col(text_col))
+    return docs.select(*cols, F.inline(F.array(let_col(_padded(c), build))))
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -109,9 +114,12 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  passthrough: bool = False) -> DataFrame:
     """-> (doc_id, punct_ratio, stopword_ratio, upper_ratio, quality)
     length/punctuation/stopword heuristics; quality in [0,1].
+    ``passthrough=True`` carries ``text_col`` through for join-free gating
+    (see language_id).
 
     Same let-bind + ``inline`` barrier as language_id: the normalization and
     every ratio evaluate once per row regardless of how many output columns
@@ -150,10 +158,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             ),
         )
 
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.inline(F.array(let_col(_padded(c), build))),
-    )
+    cols = [F.col(id_col).alias("doc_id")]
+    if passthrough:
+        cols.append(F.col(text_col))
+    return docs.select(*cols, F.inline(F.array(let_col(_padded(c), build))))
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -2714,26 +2714,32 @@ def q_corpus_clean_e2e(spark, sf_dir) -> DataFrame:
     )
     # measured A/B at sf0.1 local[32] (r6): decontaminating the lang/
     # quality SURVIVORS instead of base — the r5 verdict's suggestion —
-    # is output-identical but SLOWER here (steady 16.0 s cached / 14.2 s
-    # uncached vs 12.2 s this shape): the corpus explode is not the cost
-    # center at this SF, and putting the gate joins on the contam branch's
-    # critical path serializes what the planner otherwise runs as
-    # independent branches of one job. Kept in the independent-branch
-    # shape; at a scale where the explode dominates, gate first.
+    # is output-identical but SLOWER here; the contam branch stays
+    # independent.  r7 (guide §8): the language/quality gates used to be
+    # id-list JOINS back onto the corpus, shuffling the text payload once
+    # per gate; with the operators' passthrough mode both predicates now
+    # gate IN ONE corpus pass as plain filters (identical rows: doc_ids
+    # are unique and both scores are per-row deterministic projections,
+    # so filter-chaining == the id-equi-joins — pinned by the unchanged
+    # oracle at every SF).  The remaining small sides (contam ids, exact-
+    # dedup reps, near-dup group labels) broadcast instead of shuffling
+    # the corpus; at a scale where they outgrow broadcast, they are the
+    # ONE id-shuffle the algorithm fundamentally needs.
     contam = decontaminate(base, bench, n=3, threshold=0.8).select("doc_id").distinct()
-    lang_ok = language_id(base).filter(F.col("lang_pred") == "en").select("doc_id")
-    qual_ok = quality_score(base).filter(F.col("quality") >= 0.55).select("doc_id")
-    keep1 = (
-        base.join(lang_ok, "doc_id").join(qual_ok, "doc_id")
-        .join(contam, "doc_id", "left_anti")
+    gated = quality_score(
+        language_id(base, passthrough=True).filter(F.col("lang_pred") == "en"),
+        passthrough=True,
+    ).filter(F.col("quality") >= 0.55)
+    keep1 = gated.select("doc_id", "text").join(
+        F.broadcast(contam), "doc_id", "left_anti"
     )
 
     keyed = keep1.withColumn("h", F.md5(normalize_text(F.col("text"))))
     reps = keyed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    # the gate+dedup upstream (language-ID scoring, quality joins) feeds the
-    # LSH self-join AND the leader filter AND the packer — cache the slim
-    # survivor set so it computes once (same pattern as kg_pipeline_e2e)
-    keep2 = keyed.join(reps, ["h", "doc_id"]).select("doc_id", "text").cache()
+    # the gate+dedup upstream feeds the LSH self-join AND the leader
+    # filter AND the packer — cache the slim survivor set so it computes
+    # once (same pattern as kg_pipeline_e2e)
+    keep2 = keyed.join(F.broadcast(reps), ["h", "doc_id"]).select("doc_id", "text").cache()
     # materialize the cache BEFORE fanning out: keep2 feeds the LSH
     # self-join (both sides), the leader filter, and the packer — without
     # an eager fill those stages race and each recomputes the whole
@@ -2742,8 +2748,10 @@ def q_corpus_clean_e2e(spark, sf_dir) -> DataFrame:
     keep2.count()
 
     nd = near_dup_groups(keep2, k=4, bands=2)
+    # group labels exist only for clustered docs (small by construction):
+    # broadcast them so the leader filter never shuffles the survivor text
     keep3 = (
-        keep2.join(nd, "doc_id", "left")
+        keep2.join(F.broadcast(nd), "doc_id", "left")
         .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
         .select("doc_id", "text")
     )
