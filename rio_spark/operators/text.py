@@ -320,7 +320,13 @@ def tfidf_top(
         F.col(id_col).cast("string").alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df derivation and the scored join: without the
+    # cache the corpus explode + (doc, token) aggregation ran twice (r7,
+    # plan-verified: two Scan+Generate+HashAggregate subtrees). Cache
+    # lifecycle is caller-owned per the catalog convention; at a scale
+    # where tf outgrows memory the cache spills — still cheaper than
+    # re-exploding the corpus.
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).cache()
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     # N is a bounded scalar constant (one driver count; parquet sources
     # answer it from footer metadata) — a lit beats a degenerate 1-row join
