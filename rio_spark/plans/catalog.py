@@ -3948,69 +3948,13 @@ GROUP BY cand.path
 # query with a green driver row. All 60+ run in the local full-value parity
 # suite (tests/test_oracle_parity.py) every round regardless of position.
 QUERIES = {
-    # -- round-6 window [0:50): the 3 queries NEW this round, then ALL 47
-    # whose newest driver row is round-4 vintage (the r5 verdict's rotation
-    # requirement: every r4-green query must re-verify this round; 3 + 47
-    # fills the window exactly) -------------------------------------------
-    "sim_pq_trained": q_sim_pq_trained,
-    "sim_ivfpq_residual": q_sim_ivfpq_residual,
-    "sim_ann_recall": q_sim_ann_recall,
-    "streaming_join": q_streaming_join,
-    "kg_bgp_star": q_kg_bgp_star,
-    "kg_pagerank": q_kg_pagerank,
-    "kg_pipeline_e2e": q_kg_pipeline_e2e,
-    "kg_entity_linking": q_kg_entity_linking,
-    "kg_extract_nt": q_kg_extract_nt,
-    "kg_error_recovery": q_kg_error_recovery,
-    "kg_extract_turtle": q_kg_extract_turtle,
-    "dedup_exact": q_dedup_exact,
-    "dedup_lsh_pairs": q_dedup_lsh_pairs,
-    "text_repetition": q_text_repetition,
-    "events_retention": q_events_retention,
-    "kg_kcore": q_kg_kcore,
-    "events_trailing": q_events_trailing,
-    "kg_common_neighbors": q_kg_common_neighbors,
-    "kg_error_stats": q_kg_error_stats,
-    "kg_format_ntriples": q_kg_format_ntriples,
-    "kg_format_nquads": q_kg_format_nquads,
-    "kg_format_turtle": q_kg_format_turtle,
-    "kg_format_trig": q_kg_format_trig,
-    "kg_format_rdfxml": q_kg_format_rdfxml,
-    "sim_topk": q_sim_topk,
-    "sim_pairs": q_sim_pairs,
-    "sim_pairs_lsh": q_sim_pairs_lsh,
-    "sim_ann_topk": q_sim_ann_topk,
-    "sim_lsh_buckets": q_sim_lsh_buckets,
-    "sim_ivf_cells": q_sim_ivf_cells,
-    "sim_ivf_refined": q_sim_ivf_refined,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_rollup": q_tpch_rollup,
-    "tpch_pivot": q_tpch_pivot,
-    "window_topk": q_window_topk,
-    "events_sessionize": q_events_sessionize,
-    "events_tumbling": q_events_tumbling,
-    "events_json_props": q_events_json_props,
-    "events_distinct_users": q_events_distinct_users,
-    "text_tokens": q_text_tokens,
-    "text_langid": q_text_langid,
-    "text_quality": q_text_quality,
-    "text_fingerprint": q_text_fingerprint,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "kg_assembly": q_kg_assembly,
-    "kg_connected_components": q_kg_connected_components,
-    # -- TAIL [50:]: driver-green in round 5 (CORRECTNESS_r05), freshness
-    # enforced by tests/test_oracle_parity.py (newest green row must be
-    # within one round of the latest recorded round). corpus_clean_e2e's
-    # actual round-6 changes are an eager fill of the keep2 cache and the
-    # CC round-0 checkpoint — both pure materialization points, no plan
-    # semantics touched (the verdict's suggested gate reorder was A/B
-    # tested and REJECTED; see q_corpus_clean_e2e) — so its r5 driver row
-    # still attests the output contract; the local typed-parity harness
-    # re-checks the value hash every round. -------------------------------
+    # -- round-7 window [0:50): the mechanical rotation the r6 verdict
+    # requires — exactly the 50 queries whose newest driver row is
+    # round-5 vintage (the former tail), so a prefix-50 correctness
+    # window leaves every catalog query at most one round old.
+    # Entry CONTENTS are unchanged this round (r7 is the optimization
+    # round: every restructured query was re-proved against its frozen
+    # oracle; see OPTIMIZATION_r07.md). ---------------------------------
     "dedup_decontaminate": q_dedup_decontaminate,
     "kg_kcore_fixpoint": q_kg_kcore_fixpoint,
     "streaming_join_capped": q_streaming_join_capped,
@@ -4061,6 +4005,58 @@ QUERIES = {
     "kg_cc_incremental": q_kg_cc_incremental,
     "kg_pagerank_conserve": q_kg_pagerank_conserve,
     "corpus_clean_e2e": q_corpus_clean_e2e,
+    # -- TAIL [50:]: driver-green in round 6 (CORRECTNESS_r06);
+    # freshness enforced by tests/test_oracle_parity.py. ----------------
+    "sim_pq_trained": q_sim_pq_trained,
+    "sim_ivfpq_residual": q_sim_ivfpq_residual,
+    "sim_ann_recall": q_sim_ann_recall,
+    "streaming_join": q_streaming_join,
+    "kg_bgp_star": q_kg_bgp_star,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_pipeline_e2e": q_kg_pipeline_e2e,
+    "kg_entity_linking": q_kg_entity_linking,
+    "kg_extract_nt": q_kg_extract_nt,
+    "kg_error_recovery": q_kg_error_recovery,
+    "kg_extract_turtle": q_kg_extract_turtle,
+    "dedup_exact": q_dedup_exact,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "text_repetition": q_text_repetition,
+    "events_retention": q_events_retention,
+    "kg_kcore": q_kg_kcore,
+    "events_trailing": q_events_trailing,
+    "kg_common_neighbors": q_kg_common_neighbors,
+    "kg_error_stats": q_kg_error_stats,
+    "kg_format_ntriples": q_kg_format_ntriples,
+    "kg_format_nquads": q_kg_format_nquads,
+    "kg_format_turtle": q_kg_format_turtle,
+    "kg_format_trig": q_kg_format_trig,
+    "kg_format_rdfxml": q_kg_format_rdfxml,
+    "sim_topk": q_sim_topk,
+    "sim_pairs": q_sim_pairs,
+    "sim_pairs_lsh": q_sim_pairs_lsh,
+    "sim_ann_topk": q_sim_ann_topk,
+    "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_ivf_cells": q_sim_ivf_cells,
+    "sim_ivf_refined": q_sim_ivf_refined,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_rollup": q_tpch_rollup,
+    "tpch_pivot": q_tpch_pivot,
+    "window_topk": q_window_topk,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "events_json_props": q_events_json_props,
+    "events_distinct_users": q_events_distinct_users,
+    "text_tokens": q_text_tokens,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "kg_assembly": q_kg_assembly,
+    "kg_connected_components": q_kg_connected_components,
 }
 
 ORACLES = {
