@@ -11,6 +11,8 @@ query with a pruned probe; multi-probe (flipping one bit) trades recall back.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -220,8 +222,6 @@ def _round_half_up(x: float, nd: int):
     its emitted cosines are bit-identical to the column expression
     ``F.round(cos, nd)`` the join formulation produced — pinned by
     tests/test_r07_pair_scoring.py against Spark's own round."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     if x != x or x in (float("inf"), float("-inf")):
         return x
     return float(
