@@ -87,6 +87,13 @@ _FAST_STMT_RE = re.compile(
     rf"(?P<o>{_F_IRI}|{_F_BNODE}|{_F_STRING}|true|false|{_F_NUM}|{_F_PNAME})"
     rf"[ \t]*\.(?=[ \t\r\n#]|$)"
 )
+# whitespace-prefixed twin for the fused statement RUN (r7): after one fast
+# statement succeeds, the next is matched directly — including its leading
+# whitespace/newlines — without bouncing through the document loop's
+# skip_ws/at_end/dispatch per statement. Comments are NOT consumed here, so
+# a comment line simply ends the run and the outer loop's skip_ws handles
+# it — false negatives only, same contract as every fast path.
+_FAST_STMT_WS_RE = re.compile(rf"[ \t\r\n]*{_FAST_STMT_RE.pattern}")
 # single-object fast path for the slow-path descent (object lists `o1, o2,
 # ...` and pred-obj lists are where the statement fast path can't fire — a
 # 10k-object list otherwise pays the full grammar per object). The lookahead
@@ -886,6 +893,15 @@ class _Parser:
         return out
 
     def try_fast_statement(self) -> bool:
+        """Consume a RUN of consecutive fast statements (r7): after each
+        success the whitespace-prefixed twin regex matches the next
+        statement directly, skipping the document loop's per-statement
+        skip_ws/at_end/dispatch glue.  A term the fast path can't prove
+        leaves ``self.i`` at that statement's start (nothing of it was
+        consumed), so the caller's slow path re-parses it with positioned
+        errors exactly as before; the graph label cannot change inside a
+        run (only block structure changes it, which the statement shape
+        can't match), so TriG emission stays correct."""
         m = _FAST_STMT_RE.match(self.s, self.i)
         if m is None:
             return False
@@ -893,30 +909,39 @@ class _Parser:
         # massively, so the hit path skips the _fast_term call entirely —
         # the per-statement cost drops to three dict gets plus the guards
         cache = self._pn_cache
-        tok = m.group("s")
-        s = cache.get(tok)
-        if s is None:
-            s = self._fast_term(tok, "s")
-        if s is None or isinstance(s, str) and s.startswith('"'):
-            return False  # literal subjects are invalid — full grammar rejects
-        tok = m.group("p")
-        if tok == "a":  # rdf:type sugar — pos-gated, so never in the cache
-            p = RDF_TYPE
-        else:
-            p = cache.get(tok)
-            if p is None:
-                p = self._fast_term(tok, "p")
-            if p is None or not (isinstance(p, str) and p.startswith("<")):
-                return False
-        tok = m.group("o")
-        o = cache.get(tok)
-        if o is None:
-            o = self._fast_term(tok, "o")
-        if o is None:
-            return False
-        self.emit(s, p, o)
-        self.i = m.end()
-        return True
+        cg = cache.get
+        quads = self.quads
+        g = self.graph
+        out_append = self.out.append
+        any_ok = False
+        while True:
+            tok = m.group("s")
+            s = cg(tok)
+            if s is None:
+                s = self._fast_term(tok, "s")
+            if s is None or isinstance(s, str) and s.startswith('"'):
+                return any_ok  # literal subjects invalid — full grammar rejects
+            tok = m.group("p")
+            if tok == "a":  # rdf:type sugar — pos-gated, so never in the cache
+                p = RDF_TYPE
+            else:
+                p = cg(tok)
+                if p is None:
+                    p = self._fast_term(tok, "p")
+                if p is None or not (isinstance(p, str) and p.startswith("<")):
+                    return any_ok
+            tok = m.group("o")
+            o = cg(tok)
+            if o is None:
+                o = self._fast_term(tok, "o")
+                if o is None:
+                    return any_ok
+            out_append((s, p, o, g) if quads else (s, p, o))
+            self.i = m.end()
+            any_ok = True
+            m = _FAST_STMT_WS_RE.match(self.s, self.i)
+            if m is None:
+                return any_ok
 
     def parse_turtle_statement(self) -> None:
         if self.try_fast_statement():
