@@ -597,7 +597,10 @@ class _Parser:
             return self.parse_generalized_node() if allow_sugar else self.parse_generalized_term()
         m = _FAST_OBJ_RE.match(self.s, self.i)
         if m is not None:
-            t = self._fast_term(m.group("o"), "o")
+            tok = m.group("o")
+            t = self._pn_cache.get(tok)
+            if t is None:
+                t = self._fast_term(tok, "o")
             if t is not None:
                 self.i = m.end()
                 return t
@@ -692,26 +695,34 @@ class _Parser:
                     self.i += 1
                     # fused comma-run: each iteration is one regex match plus
                     # one term expansion; whatever it can't prove falls back
-                    # to the generic body above (via the outer `continue`)
-                    cache = self._pn_cache
+                    # to the generic body above (via the outer `continue`).
+                    # emit is inlined (bound append; graph constant inside a
+                    # run — r7, same as the fused statement run)
+                    cache_get = self._pn_cache.get
+                    out_append = self.out.append
+                    quads, g = self.quads, self.graph
                     while True:
                         m = _FAST_OBJCONT_RE.match(self.s, self.i)
                         if m is None:
                             break
                         tok = m.group("o")
-                        t = cache.get(tok)
+                        t = cache_get(tok)
                         if t is None:
                             t = self._fast_term(tok, "o")
                             if t is None:
                                 break
-                        self.emit(subject, pred, t)
+                        out_append((subject, pred, t, g) if quads
+                                   else (subject, pred, t))
                         self.i = m.end()
                     continue
                 break
             # fused semicolon-run: each iteration consumes one `; verb
             # object` continuation terminated by a same-line ';' or '.';
-            # anything it can't prove falls through to the generic loop
-            cache = self._pn_cache
+            # anything it can't prove falls through to the generic loop.
+            # emit inlined as in the comma-run above (r7)
+            cache_get = self._pn_cache.get
+            out_append = self.out.append
+            quads, g = self.quads, self.graph
             while True:
                 m = _FAST_PREDCONT_RE.match(self.s, self.i)
                 if m is None:
@@ -720,18 +731,19 @@ class _Parser:
                 if pt == "a":
                     p2 = RDF_TYPE
                 else:
-                    p2 = cache.get(pt)
+                    p2 = cache_get(pt)
                     if p2 is None:
                         p2 = self._fast_term(pt, "p")
                 if p2 is None or not (isinstance(p2, str) and p2.startswith("<")):
                     break
                 tok = m.group("o")
-                o2 = cache.get(tok)
+                o2 = cache_get(tok)
                 if o2 is None:
                     o2 = self._fast_term(tok, "o")
                     if o2 is None:
                         break
-                self.emit(subject, p2, o2)
+                out_append((subject, p2, o2, g) if quads
+                           else (subject, p2, o2))
                 self.i = m.end()
             # predicate continuation
             saw_semi = False
@@ -807,13 +819,11 @@ class _Parser:
     # -- statement fast path ---------------------------------------------------
 
     def _fast_term(self, tok: str, pos: str):
-        """Expand a fast-path token; None = fall back to the full grammar."""
-        # cache first: IRIs and prefixed names repeat massively, and only
-        # those token shapes are ever stored, so a hit short-circuits the
-        # whole branch chain (bnode/literal/number tokens always miss)
-        cached = self._pn_cache.get(tok)
-        if cached is not None:
-            return cached
+        """Expand a fast-path token; None = fall back to the full grammar.
+
+        MISS path only: every call site probes ``_pn_cache`` itself before
+        calling (the probe used to run twice per miss — r7 dropped the
+        internal one; ~4 dict gets per triple went to ~3)."""
         c0 = tok[0]
         if c0 == "<":
             try:
