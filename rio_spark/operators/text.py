@@ -50,10 +50,12 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 passthrough: bool = False) -> DataFrame:
     """-> (doc_id, lang_pred, lang_score): argmax of stopword-profile hit
     counts, deterministic tie-break by language code.  ``passthrough=True``
-    additionally carries ``text_col`` through, so a gating caller can
-    FILTER on the prediction in the same corpus pass instead of joining
-    the id-list back onto the corpus (r7: the corpus-clean chain's gate
-    joins re-shuffled the text payload once per gate — guide §8).
+    additionally carries every input column except ``id_col`` through, so a
+    gating caller can FILTER on the prediction in the same corpus pass
+    instead of joining the id-list back onto the corpus (r7: the
+    corpus-clean chain's gate joins re-shuffled the text payload once per
+    gate — guide §8), and scorers can CHAIN into one fused projection
+    (corpus_mix_report); unused carried columns are pruned by Catalyst.
 
     Plan shape matters more than the heuristic here: the padded normalized
     text is LET-BOUND (one regexp_replace per row, not one per profile-word
@@ -86,15 +88,16 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     cols = [F.col(id_col).alias("doc_id")]
     if passthrough:
-        cols.append(F.col(text_col))
+        cols += [F.col(c) for c in docs.columns if c != id_col]
     return docs.select(*cols, F.inline(F.array(let_col(_padded(c), build))))
 
 
-def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                passthrough: bool = False) -> DataFrame:
     """-> (doc_id, n_tokens, n_chars, avg_token_len) — whitespace+regex
     tokenizer (the BPE-ish split is the normalize_text regex); tokenization
     let-bound + inline barrier so it runs once per row, not once per
-    reference (see language_id)."""
+    reference (see language_id — including the passthrough contract)."""
     from rio_spark.operators.dedup import let_col
 
     st = let_col(
@@ -109,17 +112,18 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             ).alias("avg_token_len"),
         ),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.inline(F.array(st))
-    )
+    cols = [F.col(id_col).alias("doc_id")]
+    if passthrough:
+        cols += [F.col(c) for c in docs.columns if c != id_col]
+    return docs.select(*cols, F.inline(F.array(st)))
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   passthrough: bool = False) -> DataFrame:
     """-> (doc_id, punct_ratio, stopword_ratio, upper_ratio, quality)
     length/punctuation/stopword heuristics; quality in [0,1].
-    ``passthrough=True`` carries ``text_col`` through for join-free gating
-    (see language_id).
+    ``passthrough=True`` carries every input column except ``id_col``
+    through for join-free gating and scorer chaining (see language_id).
 
     Same let-bind + ``inline`` barrier as language_id: the normalization and
     every ratio evaluate once per row regardless of how many output columns
@@ -160,7 +164,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
     cols = [F.col(id_col).alias("doc_id")]
     if passthrough:
-        cols.append(F.col(text_col))
+        cols += [F.col(c) for c in docs.columns if c != id_col]
     return docs.select(*cols, F.inline(F.array(let_col(_padded(c), build))))
 
 
@@ -490,8 +494,13 @@ def corpus_mix_report(
     (lang_pred, q_bucket, n_docs, total_tokens, doc_share).
 
     Composes the audited scorers unchanged (language_id, quality_score,
-    token_stats — all let-bound single-pass projections) through two
-    equi-joins on doc_id, one map-side-combinable aggregate, and a 1-row
+    token_stats — all let-bound single-pass projections) CHAINED through
+    their passthrough mode into one fused corpus pass (r7, guide §2.4/§8:
+    the former doc_id equi-join formulation scanned the corpus three times
+    and shuffled the per-doc scores twice; doc_ids are unique and every
+    scorer emits exactly one deterministic row per input row, so the fused
+    projection is row-identical to the inner joins — pinned by the
+    unchanged oracle), then one map-side-combinable aggregate and a 1-row
     broadcast join for the share denominator; nothing here materializes
     per-token state, so the report costs ~one scan at any corpus size.
     ``q_bucket`` = least(floor(quality * bins), bins-1) — identical float
@@ -499,16 +508,19 @@ def corpus_mix_report(
     # the scorers alias their id output to "doc_id" regardless of input —
     # normalize here so any (id_col, text_col) works
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    j = (
-        language_id(docs).select("doc_id", "lang_pred")
-        .join(quality_score(docs).select("doc_id", "quality"), "doc_id")
-        .join(token_stats(docs).select("doc_id", "n_tokens"), "doc_id")
-    )
+    j = token_stats(
+        quality_score(language_id(docs, passthrough=True), passthrough=True),
+        passthrough=True,
+    ).select("doc_id", "lang_pred", "quality", "n_tokens")
     bucket = F.least(F.floor(F.col("quality") * bins), F.lit(bins - 1)).cast("int")
+    # per is tiny (<= n_langs * bins rows) but its subtree is the whole
+    # corpus pass, and BOTH the share denominator and the returned plan
+    # consume it — cache it so the corpus scans once (catalog cache-lifetime
+    # convention: the returned plan reads the cache, caller owns eviction)
     per = j.groupBy(F.col("lang_pred"), bucket.alias("q_bucket")).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-    )
+    ).cache()
     tot = per.agg(F.sum("n_docs").alias("__t")).withColumn("__k", F.lit(1))
     return (
         per.withColumn("__k", F.lit(1))

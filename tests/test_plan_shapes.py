@@ -137,15 +137,22 @@ def test_corpus_mix_single_aggregate_plus_broadcast_total(spark):
     from rio_spark.plans.catalog import q_corpus_mix
 
     plan = plan_of(q_corpus_mix(spark, SF_DIR))
-    # the scorer joins are broadcast equi-joins; the share denominator is a
-    # 1-ROW broadcast (Catalyst folds the constant `__k` key into a
-    # BroadcastNestedLoopJoin of the single total row — bounded, fine);
-    # never a shuffle join, global window, or true cross product
-    assert "BroadcastHashJoin" in plan
+    # r7: the three scorers chain through passthrough into ONE fused corpus
+    # pass — no scorer joins at all; the only join left is the share
+    # denominator, a 1-ROW broadcast (Catalyst folds the constant `__k` key
+    # into a BroadcastNestedLoopJoin of the single total row — bounded,
+    # fine); never a shuffle join, global window, or true cross product
+    assert "BroadcastHashJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+    # the corpus pass computes ONCE: every parquet scan in the plan text
+    # sits under the cached `per` relation (each InMemoryTableScan prints
+    # the relation's subtree, so textual scan mentions == cached readers);
+    # the former join formulation had 3 independent corpus scans per branch
+    assert plan.count("InMemoryTableScan") >= 1
+    assert plan.count("Scan parquet") <= plan.count("InMemoryTableScan")
 
 
 def test_pq_paths_are_pure_projections(spark):
