@@ -197,14 +197,40 @@ def cc_incremental(
     set (old labels + genuinely new nodes) EQUALS the min over the full
     vertex set. The incremental result is therefore bit-identical to the
     full recompute, which is what the oracle checks.
+
+    Scale shape (r7, guide §3.2): the old labeling is the HUGE side here
+    (10^12-edge graph) and the batch is small by the operator's design
+    premise, so ``labels`` must never be shuffled or broadcast. The old
+    formulation shuffled it into both endpoint-lookup joins, sort-merged
+    it against the relabel map, and broadcast it whole as the anti-join's
+    build side — every one of which re-walks the old graph. Now every
+    batch-scale side carries the explicit broadcast hint (checkpointed-RDD
+    lineage has no size stats, so the planner would otherwise sort-merge)
+    and ``labels`` is only ever SCANNED: once semi-join-reduced to the
+    touched endpoints (broadcast LeftSemi — a map-side filter) before the
+    endpoint lookups, and once map-side through the broadcast relabel
+    join. New-node identification needs no anti-join against the old
+    graph at all: an endpoint is new IFF the semi-reduced lookup missed it
+    (matched endpoints are in ``labels`` by definition of the equi-join;
+    old labels are themselves member nodes, so no contracted vertex that
+    is an old label can be "new") — a batch-scale set difference.
     """
     lab = labels.select("node", "component")
-    s = lab.select(F.col("node").alias(src), F.col("component").alias("__sc"))
-    d = lab.select(F.col("node").alias(dst), F.col("component").alias("__dc"))
+    ends = (
+        new_edges.select(F.col(src).alias("node"))
+        .unionByName(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # guide §3.2 exact semi-join reduction: only labels of touched
+    # endpoints participate in the lookups — dropping the rest provably
+    # cannot change a left equi-join on those endpoints
+    touched = lab.join(F.broadcast(ends), "node", "left_semi")
+    s = touched.select(F.col("node").alias(src), F.col("component").alias("__sc"))
+    d = touched.select(F.col("node").alias(dst), F.col("component").alias("__dc"))
     contracted = (
         new_edges.select(src, dst)
-        .join(s, src, "left")
-        .join(d, dst, "left")
+        .join(F.broadcast(s), src, "left")
+        .join(F.broadcast(d), dst, "left")
         .select(
             F.coalesce("__sc", F.col(src)).alias("src"),
             F.coalesce("__dc", F.col(dst)).alias("dst"),
@@ -214,9 +240,12 @@ def cc_incremental(
     relabel = comp2.select(
         F.col("node").alias("component"), F.col("component").alias("__new")
     )
-    updated = lab.join(relabel, "component", "left").select(
+    updated = lab.join(F.broadcast(relabel), "component", "left").select(
         "node", F.coalesce("__new", F.col("component")).alias("component")
     )
-    # vertices first seen in this batch (neither old members nor old labels)
-    new_nodes = comp2.join(lab.select("node"), "node", "left_anti")
+    # vertices first seen in this batch = endpoints the old labeling does
+    # not know (see docstring); comp2 restricted to them keeps exactly the
+    # rows the old anti-join against the full labeling kept
+    new_node_ids = ends.join(F.broadcast(touched.select("node")), "node", "left_anti")
+    new_nodes = comp2.join(F.broadcast(new_node_ids), "node", "left_semi")
     return updated.unionByName(new_nodes.select("node", "component"))
