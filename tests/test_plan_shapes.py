@@ -136,6 +136,9 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
 def test_corpus_mix_single_aggregate_plus_broadcast_total(spark):
     from rio_spark.plans.catalog import q_corpus_mix
 
+    # hermetic: a prior test's materialized cache of the same subtree
+    # changes how the InMemoryRelation prints (and thus the scan counts)
+    spark.catalog.clearCache()
     plan = plan_of(q_corpus_mix(spark, SF_DIR))
     # r7: the three scorers chain through passthrough into ONE fused corpus
     # pass — no scorer joins at all; the only join left is the share
