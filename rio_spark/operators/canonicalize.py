@@ -232,46 +232,28 @@ def cc_incremental(
     impossible (8 GB broadcast cap).
     """
     lab = labels.select("node", "component")
-    if not scan_only_labels:
-        s = lab.select(F.col("node").alias(src), F.col("component").alias("__sc"))
-        d = lab.select(F.col("node").alias(dst), F.col("component").alias("__dc"))
-        contracted = (
-            new_edges.select(src, dst)
-            .join(s, src, "left")
-            .join(d, dst, "left")
-            .select(
-                F.coalesce("__sc", F.col(src)).alias("src"),
-                F.coalesce("__dc", F.col(dst)).alias("dst"),
-            )
+    if scan_only_labels:
+        ends = (
+            new_edges.select(F.col(src).alias("node"))
+            .unionByName(new_edges.select(F.col(dst).alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        comp2 = connected_components(contracted)
-        relabel = comp2.select(
-            F.col("node").alias("component"), F.col("component").alias("__new")
+        # guide §3.2 exact semi-join reduction: only labels of touched
+        # endpoints participate in the lookups — dropping the rest provably
+        # cannot change a left equi-join on those endpoints
+        touched = lab.join(F.broadcast(ends), "node", "left_semi").localCheckpoint(
+            eager=True
         )
-        updated = lab.join(relabel, "component", "left").select(
-            "node", F.coalesce("__new", F.col("component")).alias("component")
-        )
-        # vertices first seen in this batch (neither old members nor labels)
-        new_nodes = comp2.join(lab.select("node"), "node", "left_anti")
-        return updated.unionByName(new_nodes.select("node", "component"))
-    ends = (
-        new_edges.select(F.col(src).alias("node"))
-        .unionByName(new_edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # guide §3.2 exact semi-join reduction: only labels of touched
-    # endpoints participate in the lookups — dropping the rest provably
-    # cannot change a left equi-join on those endpoints
-    touched = lab.join(F.broadcast(ends), "node", "left_semi").localCheckpoint(
-        eager=True
-    )
-    s = touched.select(F.col("node").alias(src), F.col("component").alias("__sc"))
-    d = touched.select(F.col("node").alias(dst), F.col("component").alias("__dc"))
+        lookup, hint = touched, F.broadcast
+    else:
+        lookup, hint = lab, lambda df: df
+    s = lookup.select(F.col("node").alias(src), F.col("component").alias("__sc"))
+    d = lookup.select(F.col("node").alias(dst), F.col("component").alias("__dc"))
     contracted = (
         new_edges.select(src, dst)
-        .join(F.broadcast(s), src, "left")
-        .join(F.broadcast(d), dst, "left")
+        .join(hint(s), src, "left")
+        .join(hint(d), dst, "left")
         .select(
             F.coalesce("__sc", F.col(src)).alias("src"),
             F.coalesce("__dc", F.col(dst)).alias("dst"),
@@ -281,12 +263,18 @@ def cc_incremental(
     relabel = comp2.select(
         F.col("node").alias("component"), F.col("component").alias("__new")
     )
-    updated = lab.join(F.broadcast(relabel), "component", "left").select(
+    updated = lab.join(hint(relabel), "component", "left").select(
         "node", F.coalesce("__new", F.col("component")).alias("component")
     )
-    # vertices first seen in this batch = endpoints the old labeling does
-    # not know (see docstring); comp2 restricted to them keeps exactly the
-    # rows the old anti-join against the full labeling kept
-    new_node_ids = ends.join(F.broadcast(touched.select("node")), "node", "left_anti")
-    new_nodes = comp2.join(F.broadcast(new_node_ids), "node", "left_semi")
+    if scan_only_labels:
+        # vertices first seen in this batch = endpoints the old labeling
+        # does not know (see docstring); comp2 restricted to them keeps
+        # exactly the rows an anti-join against the full labeling keeps
+        new_node_ids = ends.join(
+            F.broadcast(touched.select("node")), "node", "left_anti"
+        )
+        new_nodes = comp2.join(F.broadcast(new_node_ids), "node", "left_semi")
+    else:
+        # vertices first seen in this batch (neither old members nor labels)
+        new_nodes = comp2.join(lab.select("node"), "node", "left_anti")
     return updated.unionByName(new_nodes.select("node", "component"))

@@ -24,6 +24,22 @@ LANG_PROFILES = {
 EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
 
 
+def _passthrough_cols(docs: DataFrame, id_col: str, produced: tuple):
+    """Columns a passthrough scorer carries: every input column except
+    ``id_col``. Collisions are an error, not silent shadowing — an input
+    that already holds a column this scorer is about to emit (or a stray
+    'doc_id' when ``id_col`` differs) would otherwise yield duplicate
+    names and AMBIGUOUS_REFERENCE failures far downstream."""
+    carried = [c for c in docs.columns if c != id_col]
+    clash = set(carried) & (set(produced) | {"doc_id"})
+    if clash:
+        raise ValueError(
+            f"passthrough input already has column(s) {sorted(clash)} that "
+            "this scorer emits (or 'doc_id'); rename or drop them first"
+        )
+    return [F.col(c) for c in carried]
+
+
 def _padded(col):
     return F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
 
@@ -88,7 +104,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     cols = [F.col(id_col).alias("doc_id")]
     if passthrough:
-        cols += [F.col(c) for c in docs.columns if c != id_col]
+        cols += _passthrough_cols(docs, id_col, ("lang_pred", "lang_score"))
     return docs.select(*cols, F.inline(F.array(let_col(_padded(c), build))))
 
 
@@ -114,7 +130,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
     cols = [F.col(id_col).alias("doc_id")]
     if passthrough:
-        cols += [F.col(c) for c in docs.columns if c != id_col]
+        cols += _passthrough_cols(
+            docs, id_col, ("n_tokens", "n_chars", "avg_token_len")
+        )
     return docs.select(*cols, F.inline(F.array(st)))
 
 
@@ -164,7 +182,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
     cols = [F.col(id_col).alias("doc_id")]
     if passthrough:
-        cols += [F.col(c) for c in docs.columns if c != id_col]
+        cols += _passthrough_cols(
+            docs, id_col,
+            ("punct_ratio", "stopword_ratio", "upper_ratio", "quality"),
+        )
     return docs.select(*cols, F.inline(F.array(let_col(_padded(c), build))))
 
 

@@ -156,6 +156,8 @@ def test_corpus_mix_single_aggregate_plus_broadcast_total(spark):
     # the former join formulation had 3 independent corpus scans per branch
     assert plan.count("InMemoryTableScan") >= 1
     assert plan.count("Scan parquet") <= plan.count("InMemoryTableScan")
+    # leave no cache registration behind for later tests either
+    spark.catalog.clearCache()
 
 
 def test_pq_paths_are_pure_projections(spark):

@@ -62,6 +62,24 @@ def test_fused_report_equals_join_formulation(spark):
     assert _rows(corpus_mix_report(docs)) == _rows(_join_report(docs))
 
 
+def test_passthrough_collision_raises(spark):
+    """Passthrough refuses inputs that already carry a column the scorer
+    emits (silent shadowing would surface as AMBIGUOUS_REFERENCE far
+    downstream) — e.g. re-scoring an already-scored frame."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    scored = language_id(docs, passthrough=True)
+    with _pytest.raises(ValueError, match="lang_pred"):
+        language_id(scored, passthrough=True)
+    # and a stray doc_id when id_col differs
+    renamed = spark.createDataFrame(
+        [("k1", "t", "d1")], "k string, text string, doc_id string"
+    )
+    with _pytest.raises(ValueError, match="doc_id"):
+        quality_score(renamed, id_col="k", passthrough=True)
+
+
 def test_passthrough_chain_carries_and_matches_joined_scores(spark):
     """The chaining contract itself: scorer passthrough output keeps every
     upstream column and adds exactly its own, with values identical to the
